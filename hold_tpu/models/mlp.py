@@ -1,0 +1,246 @@
+"""SDF and color MLPs as functional JAX modules (init fn + apply fn).
+
+Architecture parity with the reference networks:
+- ImplicitNet (code/src/networks/shape_net.py:8-144): 8x256 softplus(beta=100)
+  MLP, skip connection at layer 4, SAL geometric initialisation, weight
+  normalisation, conditioning (pose / frame latent) concatenated at layer 0,
+  output = [sdf, 256-d feature].
+- RenderingNet (code/src/networks/texture_net.py:7-101): 'pose' mode
+  (points, normals, 8-d embedded body pose, features) and
+  'nerf_frame_encoding' mode (embedded view dirs, frame latent, features),
+  ReLU hidden layers + sigmoid output.
+
+Parameters are plain nested dicts (pytrees); apply functions are pure and
+batched over a flat point axis, so XLA can fuse them into the surrounding
+render graph and tile the matmuls onto the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .embedders import embed_dim, make_embedder
+
+
+def _linear_params(rng, fan_in: int, fan_out: int):
+    """torch.nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    k1, k2 = jax.random.split(rng)
+    bound = 1.0 / math.sqrt(max(fan_in, 1))
+    return {
+        "w": jax.random.uniform(k1, (fan_out, fan_in), minval=-bound, maxval=bound),
+        "b": jax.random.uniform(k2, (fan_out,), minval=-bound, maxval=bound),
+    }
+
+
+def _weight_normalize(layer: dict) -> dict:
+    """Reparameterize w -> (v, g) with g = row norms (torch weight_norm dim=0)."""
+    w = layer["w"]
+    g = jnp.linalg.norm(w, axis=1, keepdims=True)
+    return {"v": w, "g": g, "b": layer["b"]}
+
+
+def _apply_linear(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
+    if "v" in layer:
+        v, g = layer["v"], layer["g"]
+        w = g * v / jnp.linalg.norm(v, axis=1, keepdims=True)
+    else:
+        w = layer["w"]
+    return x @ w.T + layer["b"]
+
+
+def softplus100(x: jnp.ndarray) -> jnp.ndarray:
+    """Softplus with beta=100 (numerically-stable scaled form)."""
+    return jax.nn.softplus(100.0 * x) / 100.0
+
+
+# --------------------------------------------------------------------------
+# ImplicitNet (canonical SDF field)
+# --------------------------------------------------------------------------
+
+def implicit_net_shapes(opt, specs) -> dict[str, Any]:
+    """Static layer plan shared by init and apply."""
+    d_out = opt["d_out"] + opt["feature_vector_size"]
+    dims = [opt["d_in"]] + list(opt["dims"]) + [d_out]
+    multires = opt["multires"]
+    if multires > 0:
+        dims[0] = embed_dim(opt["d_in"], multires)
+    cond = opt["cond"]
+    if cond == "pose":
+        cond_dim = specs["pose_dim"]
+    elif cond == "frame":
+        cond_dim = opt["dim_frame_encoding"]
+    else:
+        cond_dim = 0
+    return {
+        "dims": dims,
+        "raw_in": opt["d_in"],
+        "skip_in": tuple(opt["skip_in"]),
+        "cond": cond,
+        "cond_dim": cond_dim,
+        "multires": multires,
+        "embedding": specs["embedding"],
+        "weight_norm": bool(opt.get("weight_norm", True)),
+        "init": opt.get("init", "geometry"),
+        "bias": float(opt.get("bias", 0.6)),
+        "num_layers": len(dims),
+    }
+
+
+def init_implicit_net(rng, opt, specs, barf_s: int = 0, barf_e: int = 1) -> dict:
+    plan = implicit_net_shapes(opt, specs)
+    dims, skip_in = plan["dims"], plan["skip_in"]
+    layers = []
+    for l in range(plan["num_layers"] - 1):
+        out_dim = dims[l + 1] - dims[0] if (l + 1) in skip_in else dims[l + 1]
+        in_dim = dims[l] + (plan["cond_dim"] if l == 0 and plan["cond"] != "none" else 0)
+        rng, sub = jax.random.split(rng)
+        p = _linear_params(sub, in_dim, out_dim)
+        if plan["init"] == "geometry":
+            # SAL geometric initialisation (shape_net.py:51-73): biases the
+            # field toward a sphere of radius `bias` at init.
+            if l == plan["num_layers"] - 2:
+                rng, sub = jax.random.split(rng)
+                p["w"] = (
+                    np.sqrt(np.pi) / np.sqrt(dims[l])
+                    + 1e-4 * jax.random.normal(sub, p["w"].shape)
+                )
+                p["b"] = jnp.full_like(p["b"], -plan["bias"])
+            elif plan["multires"] > 0 and l == 0:
+                rng, sub = jax.random.split(rng)
+                w = jnp.zeros_like(p["w"])
+                w = w.at[:, :3].set(
+                    jax.random.normal(sub, (out_dim, 3)) * np.sqrt(2) / np.sqrt(out_dim)
+                )
+                p["w"] = w
+                p["b"] = jnp.zeros_like(p["b"])
+            elif plan["multires"] > 0 and l in skip_in:
+                rng, sub = jax.random.split(rng)
+                w = jax.random.normal(sub, p["w"].shape) * np.sqrt(2) / np.sqrt(out_dim)
+                w = w.at[:, -(dims[0] - 3):].set(0.0)
+                p["w"] = w
+                p["b"] = jnp.zeros_like(p["b"])
+            else:
+                rng, sub = jax.random.split(rng)
+                p["w"] = jax.random.normal(sub, p["w"].shape) * np.sqrt(2) / np.sqrt(out_dim)
+                p["b"] = jnp.zeros_like(p["b"])
+        elif plan["init"] == "zero":
+            if l == plan["num_layers"] - 2:
+                rng, sub = jax.random.split(rng)
+                p["w"] = jax.random.uniform(sub, p["w"].shape, minval=-1e-5, maxval=1e-5)
+                p["b"] = jnp.zeros_like(p["b"])
+        if plan["weight_norm"]:
+            p = _weight_normalize(p)
+        layers.append(p)
+    return {"layers": layers}
+
+
+def apply_implicit_net(
+    params: dict,
+    plan: dict,
+    x: jnp.ndarray,  # (N, d_in) canonical points
+    cond: jnp.ndarray | None,  # (N, cond_dim) already broadcast per point
+    step=None,  # traced global step (BARF) or None (eval / fourier)
+    barf_cfg: tuple[int, int] = (0, 1),
+) -> jnp.ndarray:
+    """Returns (N, 1 + feature_size): [sdf, features]."""
+    raw = x
+    if plan["multires"] > 0:
+        embed = make_embedder(plan["embedding"], plan["multires"], *barf_cfg)
+        x = embed(x, step)
+    inp = x
+
+    if plan["cond"] != "none" and plan["cond_dim"] > 0:
+        # CVPR behaviour: the 45-d MANO pose conditioning is always zeroed
+        # (shape_net.py:104-106) — the hand canonical SDF is pose-independent.
+        if plan["cond_dim"] == 45:
+            cond = cond * 0.0
+
+    h = x
+    for l in range(plan["num_layers"] - 1):
+        if plan["cond"] != "none" and l == 0 and plan["cond_dim"] > 0:
+            h = jnp.concatenate([h, cond], axis=-1)
+        if l in plan["skip_in"]:
+            h = jnp.concatenate([h, inp], axis=-1) / np.sqrt(2)
+        h = _apply_linear(params["layers"][l], h)
+        if l < plan["num_layers"] - 2:
+            h = softplus100(h)
+    return h
+
+
+# --------------------------------------------------------------------------
+# RenderingNet (color field)
+# --------------------------------------------------------------------------
+
+def rendering_net_shapes(opt, specs) -> dict[str, Any]:
+    dims = [opt["d_in"] + opt["feature_vector_size"]] + list(opt["dims"]) + [opt["d_out"]]
+    mode = opt["mode"]
+    multires_view = opt.get("multires_view", -1)
+    if multires_view > 0:
+        dims[0] += embed_dim(3, multires_view) - 3
+    if mode == "nerf_frame_encoding":
+        dims[0] += opt["dim_frame_encoding"]
+    plan = {
+        "dims": dims,
+        "mode": mode,
+        "multires_view": multires_view,
+        "embedding": specs["embedding"],
+        "weight_norm": bool(opt.get("weight_norm", True)),
+        "num_layers": len(dims),
+        "pose_dim": specs.get("pose_dim", 0),
+        "dim_cond_embed": 8,
+    }
+    return plan
+
+
+def init_rendering_net(rng, opt, specs) -> dict:
+    plan = rendering_net_shapes(opt, specs)
+    layers = []
+    for l in range(plan["num_layers"] - 1):
+        rng, sub = jax.random.split(rng)
+        p = _linear_params(sub, plan["dims"][l], plan["dims"][l + 1])
+        if plan["weight_norm"]:
+            p = _weight_normalize(p)
+        layers.append(p)
+    out = {"layers": layers}
+    if plan["mode"] == "pose":
+        rng, sub = jax.random.split(rng)
+        out["lin_pose"] = _linear_params(sub, plan["pose_dim"], plan["dim_cond_embed"])
+    return out
+
+
+def apply_rendering_net(
+    params: dict,
+    plan: dict,
+    points: jnp.ndarray | None,  # (N, 3) canonical points ('pose' mode)
+    normals: jnp.ndarray | None,  # (N, 3)
+    view_dirs: jnp.ndarray | None,  # (N, 3)
+    body_pose: jnp.ndarray | None,  # (N, pose_dim) broadcast per point
+    feature_vectors: jnp.ndarray,  # (N, F) (+time code appended by caller)
+    frame_latent_code: jnp.ndarray | None = None,  # (N, dim_frame)
+    step=None,
+    barf_cfg: tuple[int, int] = (0, 1),
+) -> jnp.ndarray:
+    if plan["mode"] == "nerf_frame_encoding":
+        if plan["multires_view"] > 0:
+            embed = make_embedder(plan["embedding"], plan["multires_view"], *barf_cfg)
+            view_dirs = embed(view_dirs, step)
+        h = jnp.concatenate([view_dirs, frame_latent_code, feature_vectors], axis=-1)
+    elif plan["mode"] == "pose":
+        if plan["pose_dim"] > 0:
+            pose_embed = _apply_linear(params["lin_pose"], body_pose)
+        else:
+            pose_embed = jnp.zeros(points.shape[:-1] + (plan["dim_cond_embed"],))
+        h = jnp.concatenate([points, normals, pose_embed, feature_vectors], axis=-1)
+    else:
+        raise NotImplementedError(plan["mode"])
+
+    for l in range(plan["num_layers"] - 1):
+        h = _apply_linear(params["layers"][l], h)
+        if l < plan["num_layers"] - 2:
+            h = jax.nn.relu(h)
+    return jax.nn.sigmoid(h)

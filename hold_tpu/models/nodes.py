@@ -1,0 +1,309 @@
+"""Scene nodes: MANO hands and the rigid object as functional forwards.
+
+Each node owns a canonical SDF field (ImplicitNet), a color field
+(RenderingNet), a Laplace density, per-frame pose tables, and a deformer that
+warps deformed-space ray samples into the canonical field.  This file is the
+TPU-native counterpart of code/src/model/renderables/{node,mano_node,
+object_node}.py — same math, but expressed as pure functions over parameter
+pytrees with every hot path (KNN skinning, inverse LBS, SDF queries,
+error-bound sampling) batched over a flat ray axis.
+
+Shapes: a batch carries B frames x P pixels; ray-level tensors are flattened
+to R = B*P; deformer-level tensors keep the (B, P*S) frame grouping because
+bone transforms differ per frame.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mano.server import ManoServerState, mano_server_forward
+from ..ops.knn import knn_blend_weights, skinning, skinning_jacobian
+from ..render.ray_sampler import SamplerConfig, error_bound_z_vals
+from ..utils.transforms import inverse_mat3
+from .density import laplace_beta, laplace_density
+from .mlp import apply_implicit_net, apply_rendering_net
+from .object_model import ObjectServerState, object_deform, object_server_forward
+from .specs import CLASS_IDS, MAX_CLASS
+
+
+class NodePlans(NamedTuple):
+    """Static (non-pytree) per-node config captured in the jit closure."""
+
+    implicit: dict
+    rendering: dict
+    sampler: SamplerConfig
+    barf_cfg: tuple
+    node_id: str
+    class_id: int
+    knn_k: int = 15
+    max_dist: float = 0.1
+
+
+# --------------------------------------------------------------------------
+# Pose-parameter tables (per-frame embeddings; code/src/model/generic/params.py)
+# --------------------------------------------------------------------------
+
+def gather_mano_pose(tables: dict, frame_idx: jnp.ndarray) -> dict:
+    """tables: betas (1,10), global_orient (N,3), pose (N,45), transl (N,3)."""
+    return {
+        "betas": jnp.broadcast_to(tables["betas"], (frame_idx.shape[0], 10)),
+        "global_orient": tables["global_orient"][frame_idx],
+        "pose": tables["pose"][frame_idx],
+        "transl": tables["transl"][frame_idx],
+    }
+
+
+def gather_object_pose(tables: dict, frame_idx: jnp.ndarray) -> dict:
+    return {
+        "global_orient": tables["global_orient"][frame_idx],
+        "transl": tables["transl"][frame_idx],
+    }
+
+
+# --------------------------------------------------------------------------
+# MANO node
+# --------------------------------------------------------------------------
+
+def _flat_per_point(x_per_frame: jnp.ndarray, num_points: int) -> jnp.ndarray:
+    """(B, C) -> (B*num_points, C) by repeat — per-frame conditioning vectors
+    broadcast to every sample point of that frame."""
+    B, C = x_per_frame.shape
+    return jnp.broadcast_to(
+        x_per_frame[:, None, :], (B, num_points, C)
+    ).reshape(B * num_points, C)
+
+
+def mano_node_forward(
+    nparams: dict,
+    server: ManoServerState,
+    plans: NodePlans,
+    batch: dict,  # frame_idx (B,), uv (B,P,2), intrinsics (B,4,4), extrinsics (B,4,4)
+    ray_dirs: jnp.ndarray,  # (R, 3) flattened
+    cam_loc: jnp.ndarray,  # (R, 3)
+    step,  # traced global step (or None at eval)
+    epoch,  # traced epoch (or None)
+    rng,
+    training: bool,
+):
+    """Returns (factors, sample_dict)."""
+    B, P = batch["uv"].shape[:2]
+    frame_idx = batch["frame_idx"]
+    pose = gather_mano_pose(nparams["tables"], frame_idx)
+    full_pose = jnp.concatenate([pose["global_orient"], pose["pose"]], axis=-1)
+
+    scene_scale = batch["scene_scale"]  # scalar (constant per sequence)
+    srv_out = mano_server_forward(
+        server, jnp.broadcast_to(scene_scale, (B,)), pose["transl"], full_pose,
+        pose["betas"],
+    )
+
+    # pose conditioning: /pi normalisation; zeroed for epochs < 20
+    # (mano_node.py:82-85)
+    cond_pose = full_pose[:, 3:] / np.pi
+    if training and epoch is not None:
+        cond_pose = jnp.where(epoch < 20, 0.0, 1.0) * cond_pose
+
+    tfs = srv_out.tfs  # (B, 16, 4, 4)
+    verts_posed = srv_out.verts  # (B, V, 3)
+    verts_c = jnp.broadcast_to(server.verts_c, (B,) + server.verts_c.shape[1:])
+    skin_w = jnp.broadcast_to(
+        server.skin_weights_c, (B,) + server.skin_weights_c.shape[1:]
+    )
+
+    def inverse_warp(pts_bps):  # (B, P*S, 3) deformed -> canonical
+        w, outlier = knn_blend_weights(
+            pts_bps, verts_posed, skin_w, K=plans.knn_k, max_dist=plans.max_dist
+        )
+        return skinning(pts_bps, w, tfs, inverse=True), outlier
+
+    def sdf_at(pts_flat_c, n_pts):  # canonical points (N, 3) -> (N, 1+F)
+        cond = _flat_per_point(cond_pose, n_pts // B)
+        return apply_implicit_net(
+            nparams["implicit"], plans.implicit, pts_flat_c, cond,
+            step=step, barf_cfg=plans.barf_cfg,
+        )
+
+    def sampler_sdf(pts_RS3):  # (R, S, 3) -> (R, S) for the error-bound loop
+        S = pts_RS3.shape[1]
+        pts = pts_RS3.reshape(B, P * S, 3)
+        x_c, _ = inverse_warp(pts)
+        out = sdf_at(x_c.reshape(-1, 3), B * P * S)
+        return out[:, 0].reshape(B * P, S)
+
+    beta0 = jax.lax.stop_gradient(laplace_beta(nparams["density"]))
+    k_sampler, k_rest = (
+        jax.random.split(rng) if rng is not None else (None, None)
+    )
+    z_vals = error_bound_z_vals(
+        k_sampler, sampler_sdf, ray_dirs, cam_loc, beta0, plans.sampler, training
+    )  # (R, S_f)
+    S_f = z_vals.shape[1]
+
+    points = cam_loc[:, None, :] + z_vals[:, :, None] * ray_dirs[:, None, :]
+    pts = points.reshape(B, P * S_f, 3)
+
+    # final (with-grad) canonical warp + field queries
+    x_c, outlier = inverse_warp(pts)
+    x_c_flat = x_c.reshape(-1, 3)
+
+    # one fused forward+vjp gives sdf, features, and dSDF/dx_c
+    # (replaces the reference's double implicit forward + autograd pass at
+    # volsdf_utils.py:82-105)
+    def field(p):
+        out = sdf_at(p, B * P * S_f)
+        return out[:, 0], out
+    (sdf_flat, full_out), vjp = jax.vjp(field, x_c_flat, has_aux=False)
+    grads_c = vjp((jnp.ones_like(sdf_flat), jnp.zeros_like(full_out)))[0]
+    feat = full_out[:, 1:]
+
+    # forward-skinning Jacobian at canonical points (weights vs cano verts)
+    w_cano, _ = knn_blend_weights(
+        x_c, verts_c, skin_w, K=plans.knn_k, max_dist=plans.max_dist
+    )
+    J = skinning_jacobian(w_cano, tfs).reshape(-1, 3, 3)
+    # n_j = sum_i g_i (J^-1)_{ij}  (volsdf_utils.py:98-102)
+    normals = jnp.einsum("ni,nij->nj", grads_c, inverse_mat3(J))
+    normals = normals / jnp.maximum(
+        jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-6
+    )
+
+    view = -jnp.broadcast_to(
+        ray_dirs[:, None, :], (B * P, S_f, 3)
+    ).reshape(-1, 3)
+    rgb = apply_rendering_net(
+        nparams["rendering"], plans.rendering,
+        x_c_flat, normals, view,
+        _flat_per_point(cond_pose, P * S_f), feat,
+        step=step, barf_cfg=plans.barf_cfg,
+    )
+
+    density = laplace_density(nparams["density"], sdf_flat).reshape(B * P, S_f, 1)
+    semantics = jnp.zeros((B * P, S_f, MAX_CLASS)).at[:, :, plans.class_id].set(1.0)
+
+    factors = {
+        "color": rgb.reshape(B * P, S_f, 3),
+        "normal": normals.reshape(B * P, S_f, 3),
+        "density": density,
+        "semantics": semantics,
+        "z_vals": z_vals,
+    }
+    sample_dict = {
+        "canonical_pts": x_c.reshape(B, P, S_f, 3),
+        "cond_pose": cond_pose,
+        "tfs": tfs,
+        "verts_posed": verts_posed,
+        "v_posed": srv_out.v_posed,
+        "jnts": srv_out.jnts,
+        "outlier": outlier,
+        "rng": k_rest,
+    }
+    return factors, sample_dict
+
+
+# --------------------------------------------------------------------------
+# Object node
+# --------------------------------------------------------------------------
+
+def object_node_forward(
+    nparams: dict,
+    server: ObjectServerState,
+    plans: NodePlans,
+    batch: dict,
+    ray_dirs: jnp.ndarray,
+    cam_loc: jnp.ndarray,
+    step,
+    epoch,
+    rng,
+    training: bool,
+):
+    B, P = batch["uv"].shape[:2]
+    frame_idx = batch["frame_idx"]
+    pose = gather_object_pose(nparams["tables"], frame_idx)
+    scene_scale = batch["scene_scale"]
+
+    srv_out = object_server_forward(
+        server, jnp.broadcast_to(scene_scale, (B,)), pose["transl"],
+        pose["global_orient"], obj_scale=nparams.get("obj_scale"),
+    )
+    tfs = srv_out.obj_tfs  # (B, 4, 4)
+    time_code = nparams["frame_latent"][frame_idx]  # (B, 32)
+
+    def sdf_at(pts_flat_c, n_pts):
+        cond = jnp.zeros((pts_flat_c.shape[0], 0))
+        return apply_implicit_net(
+            nparams["implicit"], plans.implicit, pts_flat_c, cond,
+            step=step, barf_cfg=plans.barf_cfg,
+        )
+
+    def sampler_sdf(pts_RS3):
+        S = pts_RS3.shape[1]
+        pts = pts_RS3.reshape(B, P * S, 3)
+        x_c = object_deform(pts, tfs, inverse=True)
+        return sdf_at(x_c.reshape(-1, 3), B * P * S)[:, 0].reshape(B * P, S)
+
+    beta0 = jax.lax.stop_gradient(laplace_beta(nparams["density"]))
+    k_sampler, k_rest = (
+        jax.random.split(rng) if rng is not None else (None, None)
+    )
+    z_vals = error_bound_z_vals(
+        k_sampler, sampler_sdf, ray_dirs, cam_loc, beta0, plans.sampler, training
+    )
+    S_f = z_vals.shape[1]
+
+    points = cam_loc[:, None, :] + z_vals[:, :, None] * ray_dirs[:, None, :]
+    pts = points.reshape(B, P * S_f, 3)
+    x_c = object_deform(pts, tfs, inverse=True)
+    x_c_flat = x_c.reshape(-1, 3)
+
+    def field(p):
+        out = sdf_at(p, B * P * S_f)
+        return out[:, 0], out
+    (sdf_flat, full_out), vjp = jax.vjp(field, x_c_flat)
+    grads_c = vjp((jnp.ones_like(sdf_flat), jnp.zeros_like(full_out)))[0]
+    feat = full_out[:, 1:]
+
+    # rigid deformer: J = R (constant per frame), n = g R^-1 = g R^T applied
+    # per point of each frame
+    R = tfs[:, :3, :3]  # (B, 3, 3); includes scales -> general inverse
+    Rinv = inverse_mat3(R)  # (B, 3, 3)
+    g = grads_c.reshape(B, P * S_f, 3)
+    normals = jnp.einsum("bni,bnij->bnj", g, jnp.broadcast_to(
+        Rinv[:, None], (B, P * S_f, 3, 3)))
+    normals = normals.reshape(-1, 3)
+    normals = normals / jnp.maximum(
+        jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-6
+    )
+
+    view = -jnp.broadcast_to(ray_dirs[:, None, :], (B * P, S_f, 3)).reshape(-1, 3)
+    feat_tc = jnp.concatenate(
+        [feat, _flat_per_point(time_code, P * S_f)], axis=-1
+    )
+    body_pose = jnp.zeros((B * P * S_f, 0))
+    rgb = apply_rendering_net(
+        nparams["rendering"], plans.rendering,
+        x_c_flat, normals, view, body_pose, feat_tc,
+        step=step, barf_cfg=plans.barf_cfg,
+    )
+
+    density = laplace_density(nparams["density"], sdf_flat).reshape(B * P, S_f, 1)
+    semantics = jnp.zeros((B * P, S_f, MAX_CLASS)).at[:, :, plans.class_id].set(1.0)
+
+    factors = {
+        "color": rgb.reshape(B * P, S_f, 3),
+        "normal": normals.reshape(B * P, S_f, 3),
+        "density": density,
+        "semantics": semantics,
+        "z_vals": z_vals,
+    }
+    sample_dict = {
+        "canonical_pts": x_c.reshape(B, P, S_f, 3),
+        "tfs": tfs,
+        "verts_posed": srv_out.verts,
+        "rng": k_rest,
+    }
+    return factors, sample_dict

@@ -1,0 +1,276 @@
+"""Ray samplers: stratified uniform + VolSDF error-bound upsampling.
+
+TPU-first re-derivation of the reference's ErrorBoundSampler
+(code/src/engine/ray_sampler.py:88-366, VolSDF Algorithm 1).  The reference
+uses a data-dependent ``while`` loop that exits once every ray's beta bound
+converges; under XLA all shapes must be static, so we unroll the loop to its
+cap (``max_total_iters``, which the reference also enforces) and keep
+*per-ray* convergence semantics identical:
+
+- a converged ray's beta collapses to beta0 and stays there (the bisection
+  below reproduces `beta[err<=eps]=beta0` exactly),
+- the extra upsampling iterations a converged ray receives in the static
+  version only add samples from its (already tight) error-bound distribution —
+  pure refinement, never harm.
+
+The only behavioural difference vs the reference is the absence of the
+*global* early exit, i.e. we always pay the worst case — which is what a
+static-shape compiler pays anyway.
+
+SDF queries inside the sampler are stop-gradient (the reference wraps them in
+torch.no_grad, ray_sampler.py:169-177).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .volsdf import get_sphere_intersections
+
+
+class SamplerConfig(NamedTuple):
+    near: float = 0.0
+    N_samples: int = 64
+    N_samples_eval: int = 128
+    N_samples_extra: int = 32
+    eps: float = 0.1
+    beta_iters: int = 10
+    max_total_iters: int = 5
+    add_tiny: float = 1e-6
+    scene_bounding_sphere: float = 3.0
+    inverse_sphere_bg: bool = True
+    N_samples_inverse_sphere: int = 32
+
+
+def uniform_z_vals(
+    rng: jax.Array | None,
+    ray_dirs: jnp.ndarray,  # (R, 3)
+    cam_loc: jnp.ndarray,  # (R, 3)
+    near: float,
+    far,  # float or (R, 1) array
+    N: int,
+    training: bool,
+) -> jnp.ndarray:
+    """Stratified (training) or even (eval) samples in [near, far]; (R, N)."""
+    R = ray_dirs.shape[0]
+    t = jnp.linspace(0.0, 1.0, N)
+    near_arr = jnp.full((R, 1), near)
+    far_arr = jnp.broadcast_to(jnp.asarray(far, jnp.float32).reshape(-1, 1), (R, 1))
+    z = near_arr * (1.0 - t)[None] + far_arr * t[None]
+    if training and rng is not None:
+        mids = 0.5 * (z[:, 1:] + z[:, :-1])
+        upper = jnp.concatenate([mids, z[:, -1:]], axis=-1)
+        lower = jnp.concatenate([z[:, :1], mids], axis=-1)
+        u = jax.random.uniform(rng, z.shape)
+        z = lower + (upper - lower) * u
+    return z
+
+
+def _laplace_density_beta(sdf: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
+    alpha = 1.0 / beta
+    return alpha * (0.5 + 0.5 * jnp.sign(sdf) * jnp.expm1(-jnp.abs(sdf) / beta))
+
+
+def _error_bound(beta0, beta, sdf, z_vals, dists, d_star):
+    """Per-ray max opacity error bound (ray_sampler.py:354-366).
+
+    beta: (R, 1); sdf/z_vals: (R, S); dists/d_star: (R, S-1)."""
+    density = _laplace_density_beta(sdf, beta)
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(dists[:, :1]), dists * density[:, :-1]], axis=-1
+    )
+    integral = jnp.cumsum(shifted, axis=-1)
+    err_per_sec = jnp.exp(-d_star / beta) * (dists**2) / (4.0 * beta**2)
+    err_int = jnp.cumsum(err_per_sec, axis=-1)
+    bound = (jnp.clip(jnp.exp(err_int), max=1e6) - 1.0) * jnp.exp(-integral[:, :-1])
+    return jnp.max(bound, axis=-1)
+
+
+def _d_star(z_vals: jnp.ndarray, sdf: jnp.ndarray) -> jnp.ndarray:
+    """Theorem-1 lower bound on distance-to-surface inside each interval
+    (ray_sampler.py:191-206)."""
+    dists = z_vals[:, 1:] - z_vals[:, :-1]
+    a, b, c = dists, jnp.abs(sdf[:, :-1]), jnp.abs(sdf[:, 1:])
+    first = a**2 + b**2 <= c**2
+    second = a**2 + c**2 <= b**2
+    s = (a + b + c) / 2.0
+    area = jnp.maximum(s * (s - a) * (s - b) * (s - c), 0.0)
+    h = 2.0 * jnp.sqrt(area) / jnp.maximum(a, 1e-12)
+    mid = (~first) & (~second) & (b + c - a > 0)
+    d = jnp.where(first, b, jnp.where(second, c, jnp.where(mid, h, 0.0)))
+    same_side = jnp.sign(sdf[:, 1:]) * jnp.sign(sdf[:, :-1]) == 1.0
+    return jnp.where(same_side, d, 0.0)
+
+
+def sample_pdf(
+    bins: jnp.ndarray,  # (R, M)
+    cdf: jnp.ndarray,  # (R, M) cumulative (no leading zero)
+    u: jnp.ndarray,  # (R, N) in [0, 1)
+) -> jnp.ndarray:
+    """Inverse-transform sampling (ray_sampler.py:281-307)."""
+    cdf0 = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (R, M+1)
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf0, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf0.shape[-1] - 1)
+    cdf_g0 = jnp.take_along_axis(cdf0, below, axis=-1)
+    cdf_g1 = jnp.take_along_axis(cdf0, above, axis=-1)
+    # bins has M entries; cdf0 has M+1 — the reference gathers into `bins`
+    # with the same (clamped) indices
+    bins_g0 = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), -1)
+    bins_g1 = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), -1)
+    denom = cdf_g1 - cdf_g0
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_g0) / denom
+    return bins_g0 + t * (bins_g1 - bins_g0)
+
+
+def error_bound_z_vals(
+    rng: jax.Array | None,
+    sdf_fn: Callable[[jnp.ndarray], jnp.ndarray],  # (R, S, 3) -> (R, S) sdf
+    ray_dirs: jnp.ndarray,  # (R, 3)
+    cam_loc: jnp.ndarray,  # (R, 3)
+    beta0: jnp.ndarray,  # scalar current Laplace beta
+    cfg: SamplerConfig,
+    training: bool,
+) -> jnp.ndarray:
+    """Final z values per ray: (R, N_samples + 2 + N_samples_extra)."""
+    R = ray_dirs.shape[0]
+    keys = (
+        jax.random.split(rng, 4) if rng is not None else [None] * 4
+    )
+
+    if cfg.inverse_sphere_bg:
+        far = get_sphere_intersections(
+            cam_loc, ray_dirs, r=cfg.scene_bounding_sphere
+        )[:, 1:]
+    else:
+        far = jnp.full((R, 1), 2.0 * cfg.scene_bounding_sphere)
+
+    z_vals = uniform_z_vals(keys[0], ray_dirs, cam_loc, cfg.near, far,
+                            cfg.N_samples_eval, training)
+
+    def query(z):
+        pts = cam_loc[:, None, :] + z[:, :, None] * ray_dirs[:, None, :]
+        return jax.lax.stop_gradient(sdf_fn(pts))
+
+    sdf = query(z_vals)
+
+    # beta upper bound (Lemma 2)
+    dists0 = z_vals[:, 1:] - z_vals[:, :-1]
+    bound = (1.0 / (4.0 * jnp.log(jnp.asarray(cfg.eps + 1.0)))) * jnp.sum(
+        dists0**2, axis=-1
+    )
+    beta = jnp.sqrt(bound)
+    beta0 = jnp.asarray(beta0)
+
+    samples = z_vals
+    for it in range(cfg.max_total_iters):
+        dists = z_vals[:, 1:] - z_vals[:, :-1]
+        d_star = _d_star(z_vals, sdf)
+
+        # line-search beta: converged rays collapse to beta0 and stay
+        curr_err = _error_bound(beta0, beta[:, None], sdf, z_vals, dists, d_star)
+        beta = jnp.where(curr_err <= cfg.eps, beta0, beta)
+        beta_min = jnp.full((R,), beta0)
+        beta_max = beta
+        for _ in range(cfg.beta_iters):
+            beta_mid = 0.5 * (beta_min + beta_max)
+            err = _error_bound(beta0, beta_mid[:, None], sdf, z_vals, dists, d_star)
+            ok = err <= cfg.eps
+            beta_max = jnp.where(ok, beta_mid, beta_max)
+            beta_min = jnp.where(ok, beta_min, beta_mid)
+        beta = beta_max
+
+        if it == cfg.max_total_iters - 1:
+            break
+
+        # upsample N_samples_eval more points ∝ current error bound
+        dists_inf = jnp.concatenate(
+            [dists, jnp.full((R, 1), 1e10)], axis=-1
+        )
+        density = _laplace_density_beta(sdf, beta[:, None])
+        free_energy = dists_inf * density
+        shifted = jnp.concatenate(
+            [jnp.zeros((R, 1)), free_energy[:, :-1]], axis=-1
+        )
+        transmittance = jnp.exp(-jnp.cumsum(shifted, axis=-1))
+
+        err_per_sec = (
+            jnp.exp(-d_star / beta[:, None])
+            * (dists_inf[:, :-1] ** 2)
+            / (4.0 * beta[:, None] ** 2)
+        )
+        err_int = jnp.cumsum(err_per_sec, axis=-1)
+        bound_opacity = (
+            jnp.clip(jnp.exp(err_int), max=1e6) - 1.0
+        ) * transmittance[:, :-1]
+        pdf = bound_opacity + cfg.add_tiny
+        pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
+        cdf = jnp.cumsum(pdf, axis=-1)
+
+        N = cfg.N_samples_eval
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, N)[None], (R, N))
+        new_samples = sample_pdf(z_vals, cdf, u)
+
+        new_sdf = query(new_samples)
+        z_cat = jnp.concatenate([z_vals, new_samples], axis=-1)
+        sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
+        order = jnp.argsort(z_cat, axis=-1)
+        z_vals = jnp.take_along_axis(z_cat, order, axis=-1)
+        sdf = jnp.take_along_axis(sdf_cat, order, axis=-1)
+
+    # final sample set from the transmittance weights at the converged beta
+    dists = z_vals[:, 1:] - z_vals[:, :-1]
+    dists_inf = jnp.concatenate([dists, jnp.full((R, 1), 1e10)], axis=-1)
+    density = _laplace_density_beta(sdf, beta[:, None])
+    free_energy = dists_inf * density
+    shifted = jnp.concatenate([jnp.zeros((R, 1)), free_energy[:, :-1]], axis=-1)
+    transmittance = jnp.exp(-jnp.cumsum(shifted, axis=-1))
+    weights = (1.0 - jnp.exp(-free_energy)) * transmittance
+
+    pdf = weights[:, :-1] + 1e-5
+    pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    N = cfg.N_samples
+    if training and keys[1] is not None:
+        u = jax.random.uniform(keys[1], (R, N))
+    else:
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, N)[None], (R, N))
+    z_samples = sample_pdf(z_vals, cdf, u)
+
+    # extra samples: near, far, N_extra picks from the refined z table
+    near_col = jnp.full((R, 1), cfg.near)
+    far_col = far
+    if cfg.N_samples_extra > 0:
+        M = z_vals.shape[1]
+        if training and keys[2] is not None:
+            idx = jax.random.permutation(keys[2], M)[: cfg.N_samples_extra]
+        else:
+            idx = jnp.linspace(0, M - 1, cfg.N_samples_extra).astype(jnp.int32)
+        z_extra = jnp.concatenate([near_col, far_col, z_vals[:, idx]], axis=-1)
+    else:
+        z_extra = jnp.concatenate([near_col, far_col], axis=-1)
+
+    z_out = jnp.sort(jnp.concatenate([z_samples, z_extra], axis=-1), axis=-1)
+    return z_out
+
+
+def inverse_sphere_z_vals(
+    rng: jax.Array | None, num_rays: int, N: int, training: bool
+) -> jnp.ndarray:
+    """Background (NeRF++) inverse-depth samples in (0, 1]; (R, N).
+
+    Parity with UniformSampler(1.0, 0.0, N, far=1.0).inverse_sample scaled by
+    1/scene_bounding_sphere applied by the caller."""
+    t = jnp.linspace(0.0, 1.0, N)
+    z = jnp.broadcast_to(t[None], (num_rays, N))
+    if training and rng is not None:
+        mids = 0.5 * (z[:, 1:] + z[:, :-1])
+        upper = jnp.concatenate([mids, z[:, -1:]], axis=-1)
+        lower = jnp.concatenate([z[:, :1], mids], axis=-1)
+        u = jax.random.uniform(rng, z.shape)
+        z = lower + (upper - lower) * u
+    return z

@@ -1,0 +1,114 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hold_tpu.ops.knn import (
+    knn_blend_weights_pallas,
+    knn_blend_weights_xla,
+    skinning,
+    skinning_jacobian,
+)
+
+
+def _setup(B=2, P=100, V=77, J=16, seed=0):
+    rng = np.random.RandomState(seed)
+    pts = jnp.asarray(rng.randn(B, P, 3) * 0.1, jnp.float32)
+    verts = jnp.asarray(rng.randn(B, V, 3) * 0.1, jnp.float32)
+    w = rng.rand(B, V, J).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+    return pts, verts, jnp.asarray(w)
+
+
+def _brute_force(pts, verts, skin_weights, K, max_dist):
+    pts, verts, w = map(np.asarray, (pts, verts, skin_weights))
+    B, P, _ = pts.shape
+    out_w = np.zeros((B, P, w.shape[-1]), np.float32)
+    out_m = np.zeros((B, P), bool)
+    for b in range(B):
+        d2 = ((pts[b][:, None] - verts[b][None]) ** 2).sum(-1)
+        d2 = np.minimum(d2, 4.0)
+        idx = np.argsort(d2, axis=1)[:, :K]
+        d2k = np.take_along_axis(d2, idx, 1)
+        conf = np.exp(-d2k)
+        conf /= conf.sum(-1, keepdims=True)
+        out_w[b] = (w[b][idx] * conf[..., None]).sum(1)
+        out_m[b] = np.sqrt(d2k[:, 0]) > max_dist
+    return out_w, out_m
+
+
+def test_xla_matches_brute_force():
+    pts, verts, w = _setup()
+    got_w, got_m = knn_blend_weights_xla(pts, verts, w, K=5, max_dist=0.1)
+    exp_w, exp_m = _brute_force(pts, verts, w, 5, 0.1)
+    np.testing.assert_allclose(got_w, exp_w, atol=1e-5)
+    np.testing.assert_array_equal(got_m, exp_m)
+    # rows remain a partition of unity
+    np.testing.assert_allclose(np.asarray(got_w).sum(-1), 1.0, atol=1e-5)
+
+
+def test_pallas_interpret_matches_xla():
+    pts, verts, w = _setup(B=1, P=64, V=50, J=16, seed=1)
+    w_x, m_x = knn_blend_weights_xla(pts, verts, w, K=7, max_dist=0.08)
+    w_p, m_p = knn_blend_weights_pallas(pts, verts, w, K=7, max_dist=0.08,
+                                        interpret=True)
+    np.testing.assert_allclose(w_p, w_x, atol=1e-5)
+    np.testing.assert_array_equal(m_p, m_x)
+
+
+def test_weights_are_stop_gradient():
+    pts, verts, w = _setup(B=1, P=10, V=20, J=4)
+
+    def f(p):
+        bw, _ = knn_blend_weights_xla(p, verts, w, K=3)
+        return jnp.sum(bw)
+
+    g = jax.grad(f)(pts)
+    np.testing.assert_allclose(g, 0.0, atol=1e-8)
+
+
+def test_skinning_inverse_roundtrip():
+    rng = np.random.RandomState(2)
+    from hold_tpu.utils.rot import axis_angle_to_matrix
+
+    B, P, J = 2, 50, 16
+    aa = jnp.asarray(rng.randn(B, J, 3) * 0.3, jnp.float32)
+    R = axis_angle_to_matrix(aa)
+    tfs = jnp.zeros((B, J, 4, 4))
+    tfs = tfs.at[..., :3, :3].set(R)
+    tfs = tfs.at[..., :3, 3].set(jnp.asarray(rng.randn(B, J, 3) * 0.1, jnp.float32))
+    tfs = tfs.at[..., 3, 3].set(1.0)
+    w = rng.rand(B, P, J).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+    w = jnp.asarray(w)
+    x = jnp.asarray(rng.randn(B, P, 3) * 0.1, jnp.float32)
+
+    x_d = skinning(x, w, tfs, inverse=False)
+    x_back = skinning(x_d, w, tfs, inverse=True)
+    np.testing.assert_allclose(x_back, x, atol=1e-5)
+
+
+def test_skinning_jacobian_matches_autodiff():
+    rng = np.random.RandomState(3)
+    from hold_tpu.utils.rot import axis_angle_to_matrix
+
+    B, P, J = 1, 5, 16
+    aa = jnp.asarray(rng.randn(B, J, 3) * 0.3, jnp.float32)
+    tfs = jnp.zeros((B, J, 4, 4))
+    tfs = tfs.at[..., :3, :3].set(axis_angle_to_matrix(aa))
+    tfs = tfs.at[..., :3, 3].set(jnp.asarray(rng.randn(B, J, 3) * 0.1, jnp.float32))
+    tfs = tfs.at[..., 3, 3].set(1.0)
+    w = rng.rand(B, P, J).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+    w = jnp.asarray(w)
+    x = jnp.asarray(rng.randn(B, P, 3) * 0.1, jnp.float32)
+
+    J_closed = skinning_jacobian(w, tfs)
+    # autodiff with weights held fixed (the stop-gradient contract)
+    jac = jax.vmap(
+        jax.vmap(
+            lambda xi, wi: jax.jacfwd(
+                lambda p: skinning(p[None, None], wi[None, None], tfs)[0, 0]
+            )(xi)
+        )
+    )(x, w)
+    np.testing.assert_allclose(J_closed, jac, atol=1e-5)
