@@ -227,6 +227,9 @@ def generate_sequence(
         "cameras": cameras,
         "entities": entities,
         "scene_bounding_sphere": 3.0,
+        # eval-space conversion (identity for synthetic scenes; real builds
+        # carry the camera-normalisation shift from the generator)
+        "normalize_shift": np.zeros(3, np.float32),
     }
     np.save(os.path.join(build, "data.npy"), data)
     with open(os.path.join(build, "corres.txt"), "w") as fh:

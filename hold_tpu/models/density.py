@@ -10,7 +10,9 @@ import jax.numpy as jnp
 
 
 def init_laplace_density(params_init: dict, beta_min: float = 1e-4) -> dict:
-    return {"beta": jnp.asarray(float(params_init.get("beta", 0.1)))}
+    # strong float32 — a weak-typed scalar here flips dtype promotion after
+    # the first optimizer update and forces a silent train-step recompile
+    return {"beta": jnp.asarray(float(params_init.get("beta", 0.1)), jnp.float32)}
 
 
 def laplace_beta(params: dict, beta_min: float = 1e-4) -> jnp.ndarray:

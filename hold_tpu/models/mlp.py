@@ -207,7 +207,7 @@ def init_rendering_net(rng, opt, specs) -> dict:
             p = _weight_normalize(p)
         layers.append(p)
     out = {"layers": layers}
-    if plan["mode"] == "pose":
+    if plan["mode"] == "pose" and plan["pose_dim"] > 0:
         rng, sub = jax.random.split(rng)
         out["lin_pose"] = _linear_params(sub, plan["pose_dim"], plan["dim_cond_embed"])
     return out

@@ -150,11 +150,19 @@ def _knn_pallas_single(pts, verts, skin_weights, K, max_dist, interpret=False):
 
 def knn_blend_weights_pallas(pts, verts, skin_weights, K=15, max_dist=0.1,
                              interpret=False):
+    # the KNN blend is non-differentiable by contract (the reference detaches
+    # it, deformer.py:101); cutting the gradient at the *inputs* also keeps
+    # autodiff from ever trying to linearize through the pallas_call, which
+    # has no JVP rule
+    pts = jax.lax.stop_gradient(pts)
+    verts = jax.lax.stop_gradient(verts)
+    skin_weights = jax.lax.stop_gradient(skin_weights)
+
     def one(p, v, w):
         return _knn_pallas_single(p, v, w, K, max_dist, interpret)
 
     weights, outlier = jax.vmap(one)(pts, verts, skin_weights)
-    return jax.lax.stop_gradient(weights), outlier
+    return weights, outlier
 
 
 def knn_blend_weights(pts, verts, skin_weights, K=15, max_dist=0.1):

@@ -1,0 +1,240 @@
+"""Training entry point: python -m hold_tpu.train --case <seq> [flags].
+
+CLI-surface parity with the reference's code/train.py (same flags via
+utils.config.build_argparser), re-architected as an explicit JAX train loop:
+one jitted SPMD train step (rays sharded over the device mesh, gradients
+psum'd by GSPMD), optax Adam with the reference's two LR groups (pose tables
+at 0.1x lr: code/src/hold/hold.py:79-101), orbax checkpoints, canonical
+meshing between epochs via the native MISE extractor.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .data.dataset import SequenceData
+from .meshing.cano import mesh_all_cano
+from .models.holdnet import (
+    build_scene,
+    empty_object_mesh_state,
+    holdnet_forward,
+    init_scene_params,
+    object_mesh_state_from_mesh,
+)
+from .models.losses import compute_losses
+from .parallel.sharding import make_mesh, shard_batch
+from .utils.checkpoint import save_checkpoint, save_misc, to_host
+from .utils.config import parse_args
+from .utils.logger import StepTimer, Tracker
+from .utils.metrics import psnr
+
+
+def optimizer_for(args, params):
+    """Adam with pose tables at 0.1x lr (frozen if --freeze_pose); the object
+    scale stays a non-trained buffer during scene training."""
+
+    def label_fn(tree):
+        def walk(node, path):
+            if isinstance(node, dict):
+                return {k: walk(v, path + (k,)) for k, v in node.items()}
+            if isinstance(node, list):
+                return [walk(v, path + (i,)) for i, v in enumerate(node)]
+            if "tables" in path:
+                return "frozen" if args.freeze_pose else "pose"
+            if path and path[-1] == "obj_scale":
+                return "frozen"
+            return "main"
+
+        return walk(tree, ())
+
+    lr = args.lr
+    tx = optax.multi_transform(
+        {
+            "main": optax.adam(lr, eps=1e-8),
+            "pose": optax.adam(lr * 0.1, eps=1e-8),
+            "frozen": optax.set_to_zero(),
+        },
+        label_fn(params),
+    )
+    return tx
+
+
+def make_train_step(scene, tx):
+    def step_fn(params, opt_state, batch, mesh_state, key, step, epoch):
+        def loss_fn(p):
+            out = holdnet_forward(
+                p, scene, batch, mesh_state, key, step, epoch, training=True
+            )
+            losses = compute_losses(batch, out, scene.node_ids, step)
+            aux = dict(losses)
+            aux["psnr"] = psnr(out["rgb"], batch["gt_rgb"])
+            return losses["loss"], aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, aux
+
+    return jax.jit(step_fn, donate_argnums=(0, 1))
+
+
+def run_training(args, cfg, seq: SequenceData | None = None,
+                 max_steps: int | None = None):
+    """Programmatic entry (also used by tests/bench)."""
+    if seq is None:
+        seq = SequenceData(args.case, args.data_root, num_sample=args.num_sample)
+    opt_model = dict(cfg["model"])
+    opt_model["scene_bounding_sphere"] = seq.scene_bounding_sphere
+    if args.fast_dev_run:
+        opt_model["ray_sampler"] = dict(
+            opt_model["ray_sampler"],
+            N_samples=16, N_samples_eval=32, N_samples_extra=8,
+            max_total_iters=2,
+        )
+
+    scene = build_scene(opt_model, dict(args), seq.scene_data())
+    rng = jax.random.PRNGKey(int(args.get("seed", 0)))
+    params = init_scene_params(rng, scene, seq.scene_data())
+    mesh_state = empty_object_mesh_state()
+
+    tracker = Tracker(args.log_root, args.exp_key, args=args, mute=args.mute)
+    log = tracker.logger
+    args.exp_key = tracker.exp_key
+    log.info(f"experiment {tracker.exp_key}: case={args.case} "
+             f"nodes={scene.node_ids} frames={seq.n_frames}")
+
+    tx = optimizer_for(args, params)
+    opt_state = tx.init(params)
+    train_step = make_train_step(scene, tx)
+
+    if args.load_ckpt:
+        from .utils.checkpoint import load_checkpoint
+
+        state = load_checkpoint(args.load_ckpt, {"params": params})
+        params = state["params"]
+        log.info(f"loaded weights from {args.load_ckpt}")
+    if args.load_pose:
+        from .utils.checkpoint import load_params_subset
+
+        params = load_params_subset(
+            args.load_pose, params,
+            lambda path: "tables" in path or path[-1:] == ("obj_scale",),
+        )
+        log.info(f"loaded pose tables from {args.load_pose}")
+
+    dev_mesh = make_mesh(int(args.get("num_devices", 0)))
+    # commit params/opt state to the mesh up front: otherwise the first step
+    # runs with uncommitted single-device inputs, returns mesh-committed
+    # outputs, and step 1 silently recompiles
+    from .parallel.sharding import replicated
+
+    params = jax.device_put(params, replicated(dev_mesh))
+    opt_state = jax.device_put(opt_state, replicated(dev_mesh))
+    mesh_state = jax.device_put(mesh_state, replicated(dev_mesh))
+    batch_size = cfg["dataset"]["train"]["batch_size"]
+    steps_per_epoch = max(args.tempo_len // batch_size, 1)
+    total_steps = max_steps or args.total_step
+    np_rng = np.random.RandomState(int(args.get("seed", 0)))
+    key = jax.random.PRNGKey(1234)
+
+    timer = StepTimer()
+    t_start = time.time()
+    step = 0
+    while step < total_steps:
+        epoch = step // steps_per_epoch
+        timer.start("data")
+        batch_np = seq.sample_tempo_batch(
+            np_rng, batch_size, offset=args.offset, num_sample=args.num_sample
+        )
+        with dev_mesh:
+            batch = shard_batch(batch_np, dev_mesh)
+        timer.stop("data")
+
+        timer.start("step")
+        key, sub = jax.random.split(key)
+        params, opt_state, aux = train_step(
+            params, opt_state, batch, mesh_state, sub,
+            jnp.asarray(step), jnp.asarray(epoch),
+        )
+        if step % args.log_every == 0:
+            aux = {k: float(v) for k, v in aux.items()}
+            dt = timer.stop("step")
+            tracker.log_dict(aux, step=step, epoch=epoch)
+            rays = batch_np["uv"].shape[0] * batch_np["uv"].shape[1]
+            log.info(
+                f"step {step} epoch {epoch} loss {aux['loss']:.4f} "
+                f"psnr {aux['psnr']:.2f} ({rays / max(dt, 1e-9):.0f} rays/s)"
+            )
+        else:
+            timer.stop("step")
+
+        step += 1
+        # epoch boundary: meshing + checkpoints (hold.py:139-166 cadence)
+        if step % steps_per_epoch == 0:
+            ep = step // steps_per_epoch
+            if (ep % 3 == 0 and not args.no_meshing) or (
+                args.fast_dev_run and not args.no_meshing
+            ):
+                timer.start("meshing")
+                host_params = to_host(params)
+                res_scale = 4 if args.fast_dev_run else 1
+                meshes = mesh_all_cano(host_params, scene, res_scale=res_scale)
+                for nid, m in meshes.items():
+                    out_p = os.path.join(
+                        tracker.log_dir, "mesh_cano",
+                        f"mesh_cano_{nid}_step_{step}.obj",
+                    )
+                    os.makedirs(os.path.dirname(out_p), exist_ok=True)
+                    m.export(out_p)
+                    log.info(f"exported canonical mesh {out_p} "
+                             f"({m.vertices.shape[0]} verts)")
+                if "object" in meshes:
+                    mesh_state = jax.device_put(
+                        object_mesh_state_from_mesh(
+                            meshes["object"].vertices, meshes["object"].faces
+                        ),
+                        replicated(dev_mesh),
+                    )
+                misc = {
+                    "K": seq.intrinsics_all[0],
+                    "w2c": np.linalg.inv(seq.extrinsics_all[0]),
+                    "scale": seq.scale,
+                    "img_paths": seq.img_paths,
+                    "object.obj_scale": float(
+                        np.asarray(params["object"]["obj_scale"])
+                    ),
+                    "meshes_cano": {
+                        nid: {"vertices": m.vertices, "faces": m.faces}
+                        for nid, m in meshes.items()
+                    },
+                }
+                save_misc(tracker.log_dir, step, misc)
+                timer.stop("meshing")
+            if ep % max(args.eval_every_epoch, 1) == 0 or step >= total_steps:
+                save_checkpoint(
+                    tracker.log_dir, step,
+                    {"params": to_host(params), "step": step},
+                )
+                log.info(f"checkpoint at step {step}")
+
+    save_checkpoint(
+        tracker.log_dir, step, {"params": to_host(params), "step": step}
+    )
+    wall = time.time() - t_start
+    log.info(f"done: {step} steps in {wall:.1f}s; phases: {timer.summary()}")
+    return params, scene, mesh_state, tracker
+
+
+def main():
+    args, cfg = parse_args()
+    run_training(args, cfg)
+
+
+if __name__ == "__main__":
+    main()

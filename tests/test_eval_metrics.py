@@ -1,0 +1,95 @@
+import numpy as np
+
+from hold_tpu.eval.icp import compute_icp_metrics, random_rotation, umeyama
+from hold_tpu.eval.metrics import (
+    chamfer_f_scores,
+    iou_per_frame,
+    mpjpe_ra,
+    mrrpe,
+    per_frame_chamfer_f,
+)
+
+
+def test_chamfer_identical_points():
+    pts = np.random.RandomState(0).randn(500, 3) * 0.05
+    cd, f5, f10 = chamfer_f_scores(pts, pts)
+    assert cd == 0.0
+    np.testing.assert_allclose([f5, f10], 100.0, atol=1e-4)
+
+
+def test_chamfer_known_offset():
+    # two parallel planes of points 7mm apart: nearest distance = 0.7cm
+    g = np.stack(np.meshgrid(np.linspace(0, 0.1, 20), np.linspace(0, 0.1, 20)),
+                 -1).reshape(-1, 2)
+    a = np.concatenate([g, np.zeros((g.shape[0], 1))], 1)
+    b = a + np.array([0, 0, 0.007])
+    cd, f5, f10 = chamfer_f_scores(a, b)
+    np.testing.assert_allclose(cd, 2 * 0.7**2, atol=1e-3)
+    assert f5 == 0.0  # 7mm > 5mm threshold
+    np.testing.assert_allclose(f10, 100.0, atol=1e-4)
+
+
+def test_mpjpe_root_alignment():
+    rng = np.random.RandomState(1)
+    j_gt = rng.randn(5, 21, 3) * 0.1
+    # global offset per frame should not matter (root-aligned)
+    j_pred = j_gt + rng.randn(5, 1, 3)
+    np.testing.assert_allclose(mpjpe_ra(j_pred, j_gt), 0.0, atol=1e-5)
+    # (2,2,2)mm shift of all non-root joints -> |shift| * 20/21 mean error
+    j_pred2 = j_gt.copy()
+    j_pred2[:, 1:] += 0.002
+    err = mpjpe_ra(j_pred2, j_gt)
+    np.testing.assert_allclose(err, 2.0 * np.sqrt(3) * 20 / 21, atol=1e-3)
+
+
+def test_mrrpe():
+    rh_gt = np.zeros((3, 3))
+    ro_gt = np.tile([0.1, 0, 0], (3, 1))
+    rh_p = np.tile([0.5, 0.5, 0.5], (3, 1))  # common offset cancels
+    ro_p = rh_p + [0.1, 0, 0.004]
+    err = mrrpe(rh_gt, ro_gt, rh_p, ro_p)
+    np.testing.assert_allclose(err, 4.0, atol=1e-4)
+
+
+def test_per_frame_validity():
+    v = [np.random.rand(100, 3) for _ in range(3)]
+    cd, f5, f10 = per_frame_chamfer_f(v, v, is_valid=np.array([1, 0, 1]))
+    assert np.isnan(cd[1]) and cd[0] == 0.0 and cd[2] == 0.0
+
+
+def test_iou():
+    pred = np.zeros((1, 10, 10), np.int64)
+    gt = np.zeros((1, 10, 10), np.int64)
+    pred[0, :5] = 100
+    gt[0, :5] = 100
+    # class 200 absent in both frames counts as 0 (reference semantics,
+    # eval_modules.py:178-184), so mean IoU = (1 + 1 + 0) / 3
+    np.testing.assert_allclose(iou_per_frame(pred, gt), [2.0 / 3.0])
+
+
+def test_umeyama_recovers_similarity():
+    rng = np.random.RandomState(2)
+    src = rng.randn(200, 3)
+    R = random_rotation(rng)
+    s_gt, t_gt = 1.3, np.array([0.2, -0.1, 0.4])
+    dst = s_gt * src @ R.T + t_gt
+    s, R2, t = umeyama(src, dst)
+    np.testing.assert_allclose(s, s_gt, atol=1e-6)
+    np.testing.assert_allclose(R2, R, atol=1e-6)
+    np.testing.assert_allclose(t, t_gt, atol=1e-6)
+
+
+def test_icp_aligns_rotated_mesh():
+    from hold_tpu.data.synthetic import _sphere_mesh
+
+    verts, faces = _sphere_mesh(0.05, 2)
+    # squash to make orientation matter
+    verts = verts * np.array([1.0, 0.6, 0.3])
+    rng = np.random.RandomState(3)
+    R = random_rotation(rng)
+    verts_rot = verts @ R.T + np.array([0.3, -0.2, 0.1])
+    cd, f5, f10 = compute_icp_metrics(
+        verts, faces, verts_rot, faces, num_iters=30, seed=0
+    )
+    assert cd < 0.02, cd  # cm^2: sub-millimeter alignment
+    assert f10 > 0.95
