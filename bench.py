@@ -21,6 +21,8 @@ ASSUMED_BASELINE_RAYS_PER_SEC = 3500.0
 
 
 def main():
+    from hold_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

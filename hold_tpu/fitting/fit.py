@@ -68,6 +68,7 @@ class FittingProblem:
         imsize: tuple[int, int],
         contact_idx: np.ndarray,
         face_chunk: int = 64,
+        sigma: float = 1e-6,
     ):
         self.servers = servers
         self.node_ids = list(servers.keys())
@@ -88,6 +89,7 @@ class FittingProblem:
         self.imsize = imsize
         self.contact_idx = jnp.asarray(contact_idx)
         self.face_chunk = face_chunk
+        self.sigma = sigma
 
     # -- forward ------------------------------------------------------------
 
@@ -127,7 +129,7 @@ class FittingProblem:
             )
             out[f"{nid}.mask"] = render_silhouette(
                 v_render, jnp.asarray(self.faces[nid]), self.K, self.imsize,
-                face_chunk=self.face_chunk,
+                sigma=self.sigma, face_chunk=self.face_chunk,
             )
         return out
 

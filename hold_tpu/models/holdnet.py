@@ -344,6 +344,42 @@ def prepare_loss_targets_object(
 # Full scene forward
 # --------------------------------------------------------------------------
 
+def sample_all_z(
+    params: dict,
+    scene: Scene,
+    batch: dict,
+    rng,
+    step,
+    epoch,
+    training: bool = True,
+) -> dict:
+    """Sampler-only stage: per-node error-bound z tables (stop-gradient).
+
+    Jitted separately from the render/grad stage — the combined graph is too
+    large for the TPU compiler's fusion pass (it SIGILLs), and since z values
+    carry no gradient there is nothing to fuse across the boundary anyway."""
+    from .nodes import mano_node_sample_z, object_node_sample_z
+
+    B, P = batch["uv"].shape[:2]
+    ray_dirs_b, cam_loc_b = get_camera_rays(
+        batch["uv"], batch["extrinsics"], batch["intrinsics"]
+    )
+    ray_dirs = ray_dirs_b.reshape(-1, 3)
+    cam_loc = jnp.broadcast_to(cam_loc_b[:, None, :], (B, P, 3)).reshape(-1, 3)
+    keys = (
+        jax.random.split(rng, len(scene.node_ids))
+        if rng is not None else [None] * len(scene.node_ids)
+    )
+    out = {}
+    for i, nid in enumerate(scene.node_ids):
+        fn = mano_node_sample_z if nid in ("right", "left") else object_node_sample_z
+        out[nid] = fn(
+            params[nid], scene.servers[nid], scene.plans[nid], batch,
+            ray_dirs, cam_loc, step, epoch, keys[i], training,
+        )
+    return out
+
+
 def holdnet_forward(
     params: dict,
     scene: Scene,
@@ -353,6 +389,7 @@ def holdnet_forward(
     step,
     epoch,
     training: bool = True,
+    z_vals_dict: dict | None = None,
 ) -> dict:
     """batch: frame_idx (B,), uv (B,P,2), intrinsics (B,4,4), extrinsics
     (B,4,4), scene_scale scalar.  Returns composited render + loss targets."""
@@ -374,15 +411,18 @@ def holdnet_forward(
         else [None] * (len(scene.node_ids) + 3)
     )
     for i, nid in enumerate(scene.node_ids):
+        z_nid = None if z_vals_dict is None else z_vals_dict[nid]
         if nid in ("right", "left"):
             factors, sd = mano_node_forward(
                 params[nid], scene.servers[nid], scene.plans[nid], batch,
                 ray_dirs, cam_loc, step, epoch, keys[i], training,
+                z_vals=z_nid,
             )
         else:
             factors, sd = object_node_forward(
                 params[nid], scene.servers[nid], scene.plans[nid], batch,
                 ray_dirs, cam_loc, step, epoch, keys[i], training,
+                z_vals=z_nid,
             )
         factors_list.append(factors)
         sample_dicts[nid] = sd

@@ -25,6 +25,7 @@ from ..mano.server import ManoServerState, mano_server_forward
 from ..ops.knn import knn_blend_weights, skinning, skinning_jacobian
 from ..render.ray_sampler import SamplerConfig, error_bound_z_vals
 from ..utils.transforms import inverse_mat3
+from ..ops.chunk import map_chunked
 from .density import laplace_beta, laplace_density
 from .mlp import apply_implicit_net, apply_rendering_net
 from .object_model import ObjectServerState, object_deform, object_server_forward
@@ -89,8 +90,14 @@ def mano_node_forward(
     epoch,  # traced epoch (or None)
     rng,
     training: bool,
+    z_vals: jnp.ndarray | None = None,  # precomputed by the sampler stage
 ):
-    """Returns (factors, sample_dict)."""
+    """Returns (factors, sample_dict).
+
+    When ``z_vals`` is given the error-bound sampler is skipped — the train
+    step runs sampling as a separate jitted stage (its output is
+    stop-gradient), which keeps each compiled graph small enough for the TPU
+    compiler."""
     B, P = batch["uv"].shape[:2]
     frame_idx = batch["frame_idx"]
     pose = gather_mano_pose(nparams["tables"], frame_idx)
@@ -135,51 +142,61 @@ def mano_node_forward(
         out = sdf_at(x_c.reshape(-1, 3), B * P * S)
         return out[:, 0].reshape(B * P, S)
 
-    beta0 = jax.lax.stop_gradient(laplace_beta(nparams["density"]))
-    k_sampler, k_rest = (
-        jax.random.split(rng) if rng is not None else (None, None)
-    )
-    z_vals = error_bound_z_vals(
-        k_sampler, sampler_sdf, ray_dirs, cam_loc, beta0, plans.sampler, training
-    )  # (R, S_f)
+    if z_vals is None:
+        beta0 = jax.lax.stop_gradient(laplace_beta(nparams["density"]))
+        z_vals = error_bound_z_vals(
+            rng, sampler_sdf, ray_dirs, cam_loc, beta0, plans.sampler, training
+        )  # (R, S_f)
     S_f = z_vals.shape[1]
 
     points = cam_loc[:, None, :] + z_vals[:, :, None] * ray_dirs[:, None, :]
     pts = points.reshape(B, P * S_f, 3)
 
-    # final (with-grad) canonical warp + field queries
+    # final (with-grad) canonical warp
     x_c, outlier = inverse_warp(pts)
     x_c_flat = x_c.reshape(-1, 3)
-
-    # one fused forward+vjp gives sdf, features, and dSDF/dx_c
-    # (replaces the reference's double implicit forward + autograd pass at
-    # volsdf_utils.py:82-105)
-    def field(p):
-        out = sdf_at(p, B * P * S_f)
-        return out[:, 0], out
-    (sdf_flat, full_out), vjp = jax.vjp(field, x_c_flat, has_aux=False)
-    grads_c = vjp((jnp.ones_like(sdf_flat), jnp.zeros_like(full_out)))[0]
-    feat = full_out[:, 1:]
+    N_pts = B * P * S_f
 
     # forward-skinning Jacobian at canonical points (weights vs cano verts)
     w_cano, _ = knn_blend_weights(
         x_c, verts_c, skin_w, K=plans.knn_k, max_dist=plans.max_dist
     )
     J = skinning_jacobian(w_cano, tfs).reshape(-1, 3, 3)
-    # n_j = sum_i g_i (J^-1)_{ij}  (volsdf_utils.py:98-102)
-    normals = jnp.einsum("ni,nij->nj", grads_c, inverse_mat3(J))
-    normals = normals / jnp.maximum(
-        jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-6
-    )
+    Jinv = inverse_mat3(J)
 
+    cond_pp = _flat_per_point(cond_pose, P * S_f)
     view = -jnp.broadcast_to(
         ray_dirs[:, None, :], (B * P, S_f, 3)
     ).reshape(-1, 3)
-    rgb = apply_rendering_net(
-        nparams["rendering"], plans.rendering,
-        x_c_flat, normals, view,
-        _flat_per_point(cond_pose, P * S_f), feat,
-        step=step, barf_cfg=plans.barf_cfg,
+
+    # chunked per-point shading: one fused forward+vjp per chunk gives sdf,
+    # features, and dSDF/dx_c (replaces the reference's double implicit
+    # forward + autograd pass at volsdf_utils.py:82-105); chunking bounds the
+    # fusion size — see ops/chunk.py
+    def shade(xc, cond, vw, jinv):
+        def field(p):
+            out = apply_implicit_net(
+                nparams["implicit"], plans.implicit, p, cond,
+                step=step, barf_cfg=plans.barf_cfg,
+            )
+            return out[:, 0], out
+
+        (sdf, full_out), vjp = jax.vjp(field, xc)
+        g = vjp((jnp.ones_like(sdf), jnp.zeros_like(full_out)))[0]
+        feat = full_out[:, 1:]
+        # n_j = sum_i g_i (J^-1)_{ij}  (volsdf_utils.py:98-102)
+        nrm = jnp.einsum("ni,nij->nj", g, jinv)
+        nrm = nrm / jnp.maximum(
+            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6
+        )
+        rgb = apply_rendering_net(
+            nparams["rendering"], plans.rendering,
+            xc, nrm, vw, cond, feat, step=step, barf_cfg=plans.barf_cfg,
+        )
+        return sdf, rgb, nrm
+
+    sdf_flat, rgb, normals = map_chunked(
+        shade, (x_c_flat, cond_pp, view, Jinv), N_pts
     )
 
     density = laplace_density(nparams["density"], sdf_flat).reshape(B * P, S_f, 1)
@@ -200,7 +217,6 @@ def mano_node_forward(
         "v_posed": srv_out.v_posed,
         "jnts": srv_out.jnts,
         "outlier": outlier,
-        "rng": k_rest,
     }
     return factors, sample_dict
 
@@ -220,6 +236,7 @@ def object_node_forward(
     epoch,
     rng,
     training: bool,
+    z_vals: jnp.ndarray | None = None,
 ):
     B, P = batch["uv"].shape[:2]
     frame_idx = batch["frame_idx"]
@@ -246,48 +263,54 @@ def object_node_forward(
         x_c = object_deform(pts, tfs, inverse=True)
         return sdf_at(x_c.reshape(-1, 3), B * P * S)[:, 0].reshape(B * P, S)
 
-    beta0 = jax.lax.stop_gradient(laplace_beta(nparams["density"]))
-    k_sampler, k_rest = (
-        jax.random.split(rng) if rng is not None else (None, None)
-    )
-    z_vals = error_bound_z_vals(
-        k_sampler, sampler_sdf, ray_dirs, cam_loc, beta0, plans.sampler, training
-    )
+    if z_vals is None:
+        beta0 = jax.lax.stop_gradient(laplace_beta(nparams["density"]))
+        z_vals = error_bound_z_vals(
+            rng, sampler_sdf, ray_dirs, cam_loc, beta0, plans.sampler, training
+        )
     S_f = z_vals.shape[1]
 
     points = cam_loc[:, None, :] + z_vals[:, :, None] * ray_dirs[:, None, :]
     pts = points.reshape(B, P * S_f, 3)
     x_c = object_deform(pts, tfs, inverse=True)
     x_c_flat = x_c.reshape(-1, 3)
+    N_pts = B * P * S_f
 
-    def field(p):
-        out = sdf_at(p, B * P * S_f)
-        return out[:, 0], out
-    (sdf_flat, full_out), vjp = jax.vjp(field, x_c_flat)
-    grads_c = vjp((jnp.ones_like(sdf_flat), jnp.zeros_like(full_out)))[0]
-    feat = full_out[:, 1:]
-
-    # rigid deformer: J = R (constant per frame), n = g R^-1 = g R^T applied
-    # per point of each frame
-    R = tfs[:, :3, :3]  # (B, 3, 3); includes scales -> general inverse
-    Rinv = inverse_mat3(R)  # (B, 3, 3)
-    g = grads_c.reshape(B, P * S_f, 3)
-    normals = jnp.einsum("bni,bnij->bnj", g, jnp.broadcast_to(
-        Rinv[:, None], (B, P * S_f, 3, 3)))
-    normals = normals.reshape(-1, 3)
-    normals = normals / jnp.maximum(
-        jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-6
-    )
-
+    # rigid deformer: J = R (constant per frame), n = g R^-1 per point
+    Rinv = inverse_mat3(tfs[:, :3, :3])  # (B, 3, 3)
+    rinv_pp = jnp.broadcast_to(
+        Rinv[:, None], (B, P * S_f, 3, 3)
+    ).reshape(-1, 3, 3)
+    tc_pp = _flat_per_point(time_code, P * S_f)
     view = -jnp.broadcast_to(ray_dirs[:, None, :], (B * P, S_f, 3)).reshape(-1, 3)
-    feat_tc = jnp.concatenate(
-        [feat, _flat_per_point(time_code, P * S_f)], axis=-1
-    )
-    body_pose = jnp.zeros((B * P * S_f, 0))
-    rgb = apply_rendering_net(
-        nparams["rendering"], plans.rendering,
-        x_c_flat, normals, view, body_pose, feat_tc,
-        step=step, barf_cfg=plans.barf_cfg,
+
+    def shade(xc, vw, jinv, tc):
+        cond = jnp.zeros((xc.shape[0], 0))
+
+        def field(p):
+            out = apply_implicit_net(
+                nparams["implicit"], plans.implicit, p, cond,
+                step=step, barf_cfg=plans.barf_cfg,
+            )
+            return out[:, 0], out
+
+        (sdf, full_out), vjp = jax.vjp(field, xc)
+        g = vjp((jnp.ones_like(sdf), jnp.zeros_like(full_out)))[0]
+        feat = full_out[:, 1:]
+        nrm = jnp.einsum("ni,nij->nj", g, jinv)
+        nrm = nrm / jnp.maximum(
+            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6
+        )
+        rgb = apply_rendering_net(
+            nparams["rendering"], plans.rendering,
+            xc, nrm, vw, jnp.zeros((xc.shape[0], 0)),
+            jnp.concatenate([feat, tc], axis=-1),
+            step=step, barf_cfg=plans.barf_cfg,
+        )
+        return sdf, rgb, nrm
+
+    sdf_flat, rgb, normals = map_chunked(
+        shade, (x_c_flat, view, rinv_pp, tc_pp), N_pts
     )
 
     density = laplace_density(nparams["density"], sdf_flat).reshape(B * P, S_f, 1)
@@ -304,6 +327,73 @@ def object_node_forward(
         "canonical_pts": x_c.reshape(B, P, S_f, 3),
         "tfs": tfs,
         "verts_posed": srv_out.verts,
-        "rng": k_rest,
     }
     return factors, sample_dict
+
+
+def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
+                       step, epoch, rng, training):
+    """Sampler-only stage for the MANO node (stop-gradient z table)."""
+    B, P = batch["uv"].shape[:2]
+    frame_idx = batch["frame_idx"]
+    pose = gather_mano_pose(nparams["tables"], frame_idx)
+    full_pose = jnp.concatenate([pose["global_orient"], pose["pose"]], axis=-1)
+    srv_out = mano_server_forward(
+        server, jnp.broadcast_to(batch["scene_scale"], (B,)), pose["transl"],
+        full_pose, pose["betas"],
+    )
+    cond_pose = full_pose[:, 3:] / np.pi
+    if training and epoch is not None:
+        cond_pose = jnp.where(epoch < 20, 0.0, 1.0) * cond_pose
+    tfs = srv_out.tfs
+    verts_posed = srv_out.verts
+    skin_w = jnp.broadcast_to(
+        server.skin_weights_c, (B,) + server.skin_weights_c.shape[1:]
+    )
+
+    def sampler_sdf(pts_RS3):
+        S = pts_RS3.shape[1]
+        pts = pts_RS3.reshape(B, P * S, 3)
+        w, _ = knn_blend_weights(
+            pts, verts_posed, skin_w, K=plans.knn_k, max_dist=plans.max_dist
+        )
+        x_c = skinning(pts, w, tfs, inverse=True)
+        cond = _flat_per_point(cond_pose, P * S)
+        out = apply_implicit_net(
+            nparams["implicit"], plans.implicit, x_c.reshape(-1, 3), cond,
+            step=step, barf_cfg=plans.barf_cfg,
+        )
+        return out[:, 0].reshape(B * P, S)
+
+    beta0 = jax.lax.stop_gradient(laplace_beta(nparams["density"]))
+    return error_bound_z_vals(
+        rng, sampler_sdf, ray_dirs, cam_loc, beta0, plans.sampler, training
+    )
+
+
+def object_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
+                         step, epoch, rng, training):
+    """Sampler-only stage for the object node."""
+    B, P = batch["uv"].shape[:2]
+    pose = gather_object_pose(nparams["tables"], batch["frame_idx"])
+    srv_out = object_server_forward(
+        server, jnp.broadcast_to(batch["scene_scale"], (B,)), pose["transl"],
+        pose["global_orient"], obj_scale=nparams.get("obj_scale"),
+    )
+    tfs = srv_out.obj_tfs
+
+    def sampler_sdf(pts_RS3):
+        S = pts_RS3.shape[1]
+        pts = pts_RS3.reshape(B, P * S, 3)
+        x_c = object_deform(pts, tfs, inverse=True)
+        cond = jnp.zeros((B * P * S, 0))
+        out = apply_implicit_net(
+            nparams["implicit"], plans.implicit, x_c.reshape(-1, 3), cond,
+            step=step, barf_cfg=plans.barf_cfg,
+        )
+        return out[:, 0].reshape(B * P, S)
+
+    beta0 = jax.lax.stop_gradient(laplace_beta(nparams["density"]))
+    return error_bound_z_vals(
+        rng, sampler_sdf, ray_dirs, cam_loc, beta0, plans.sampler, training
+    )

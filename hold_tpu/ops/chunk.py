@@ -1,0 +1,36 @@
+"""Chunked point-wise mapping: bound the size of compiled fusions.
+
+The TPU compiler's fusion pass crashes (SIGILL in its cost model) when the
+transposed (backward) graph of the 8x256 SDF MLP spans more than ~2e5 points
+in one fusion.  `map_chunked` splits a flat point axis into fixed chunks and
+runs the body under `lax.map`, so both the forward and the scan-transposed
+backward are bounded per step while remaining a single compiled loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_CHUNK = 65536
+
+
+def map_chunked(body, args: tuple, n: int, chunk: int = DEFAULT_CHUNK):
+    """Apply ``body(*chunk_args) -> pytree of (C, ...)`` over a flat axis.
+
+    args: tuple of arrays with leading dim n.  Returns outputs with leading
+    dim n.  If n <= chunk the body is called directly (no scan)."""
+    if n <= chunk:
+        return body(*args)
+
+    pad = (-n) % chunk
+    padded = tuple(
+        jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        if pad else a
+        for a in args
+    )
+    stacked = tuple(a.reshape((-1, chunk) + a.shape[1:]) for a in padded)
+    out = jax.lax.map(lambda xs: body(*xs), stacked)
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((-1,) + o.shape[2:])[:n], out
+    )

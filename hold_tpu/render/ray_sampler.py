@@ -74,18 +74,26 @@ def _laplace_density_beta(sdf: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
     return alpha * (0.5 + 0.5 * jnp.sign(sdf) * jnp.expm1(-jnp.abs(sdf) / beta))
 
 
-def _error_bound(beta0, beta, sdf, z_vals, dists, d_star):
+def _error_bound(beta0, beta, sdf, z_vals, dists, d_star, valid=None):
     """Per-ray max opacity error bound (ray_sampler.py:354-366).
 
-    beta: (R, 1); sdf/z_vals: (R, S); dists/d_star: (R, S-1)."""
+    beta: (R, 1); sdf/z_vals: (R, S); dists/d_star: (R, S-1).
+    `valid` (broadcastable to dists) masks out intervals that touch padded
+    table slots — without it the phantom far-to-padding interval dominates
+    the max and the bisection never converges."""
     density = _laplace_density_beta(sdf, beta)
+    err_per_sec = jnp.exp(-d_star / beta) * (dists**2) / (4.0 * beta**2)
+    if valid is not None:
+        dists = jnp.where(valid, dists, 0.0)
+        err_per_sec = jnp.where(valid, err_per_sec, 0.0)
     shifted = jnp.concatenate(
         [jnp.zeros_like(dists[:, :1]), dists * density[:, :-1]], axis=-1
     )
     integral = jnp.cumsum(shifted, axis=-1)
-    err_per_sec = jnp.exp(-d_star / beta) * (dists**2) / (4.0 * beta**2)
     err_int = jnp.cumsum(err_per_sec, axis=-1)
     bound = (jnp.clip(jnp.exp(err_int), max=1e6) - 1.0) * jnp.exp(-integral[:, :-1])
+    if valid is not None:
+        bound = jnp.where(valid, bound, 0.0)
     return jnp.max(bound, axis=-1)
 
 
@@ -127,6 +135,9 @@ def sample_pdf(
     return bins_g0 + t * (bins_g1 - bins_g0)
 
 
+_PAD_Z = 1e9  # padding depths sort to the end of the table
+
+
 def error_bound_z_vals(
     rng: jax.Array | None,
     sdf_fn: Callable[[jnp.ndarray], jnp.ndarray],  # (R, S, 3) -> (R, S) sdf
@@ -136,7 +147,17 @@ def error_bound_z_vals(
     cfg: SamplerConfig,
     training: bool,
 ) -> jnp.ndarray:
-    """Final z values per ray: (R, N_samples + 2 + N_samples_extra)."""
+    """Final z values per ray: (R, N_samples + 2 + N_samples_extra).
+
+    TPU-first structure: instead of the reference's Python loop with a table
+    that grows by N_samples_eval per round (which instantiates the SDF query
+    graph once *per round* and ballooned the HLO enough to crash the TPU
+    fusion pass), the refinement runs as one `lax.scan` over a fixed-size
+    padded table of N_samples_eval * max_total_iters entries.  Padded slots
+    sit at z=1e9 with sdf=1e5 (zero density, zero error contribution) and are
+    masked out of the upsampling pdf, so per-ray sampling semantics match the
+    growing-table formulation exactly; after the last round every slot is
+    real."""
     R = ray_dirs.shape[0]
     keys = (
         jax.random.split(rng, 4) if rng is not None else [None] * 4
@@ -149,55 +170,70 @@ def error_bound_z_vals(
     else:
         far = jnp.full((R, 1), 2.0 * cfg.scene_bounding_sphere)
 
-    z_vals = uniform_z_vals(keys[0], ray_dirs, cam_loc, cfg.near, far,
-                            cfg.N_samples_eval, training)
+    z0 = uniform_z_vals(keys[0], ray_dirs, cam_loc, cfg.near, far,
+                        cfg.N_samples_eval, training)
 
     def query(z):
         pts = cam_loc[:, None, :] + z[:, :, None] * ray_dirs[:, None, :]
         return jax.lax.stop_gradient(sdf_fn(pts))
 
-    sdf = query(z_vals)
+    Ne = cfg.N_samples_eval
+    M = Ne * cfg.max_total_iters
+    pad_z = _PAD_Z + jnp.arange(M - Ne, dtype=jnp.float32)
+    z_buf = jnp.concatenate(
+        [z0, jnp.broadcast_to(pad_z[None], (R, M - Ne))], axis=-1
+    )
+    sdf_buf = jnp.concatenate(
+        [query(z0), jnp.full((R, M - Ne), 1e5)], axis=-1
+    )
 
-    # beta upper bound (Lemma 2)
-    dists0 = z_vals[:, 1:] - z_vals[:, :-1]
+    # beta upper bound (Lemma 2) from the initial uniform spacing
+    dists0 = z0[:, 1:] - z0[:, :-1]
     bound = (1.0 / (4.0 * jnp.log(jnp.asarray(cfg.eps + 1.0)))) * jnp.sum(
         dists0**2, axis=-1
     )
     beta = jnp.sqrt(bound)
-    beta0 = jnp.asarray(beta0)
+    beta0 = jnp.asarray(beta0, jnp.float32)
 
-    samples = z_vals
-    for it in range(cfg.max_total_iters):
+    def bisect(beta, sdf, z_vals, dists, d_star, valid=None):
+        curr_err = _error_bound(
+            beta0, beta[:, None], sdf, z_vals, dists, d_star, valid
+        )
+        beta = jnp.where(curr_err <= cfg.eps, beta0, beta)
+
+        def body(_, carry):
+            beta_min, beta_max = carry
+            beta_mid = 0.5 * (beta_min + beta_max)
+            err = _error_bound(
+                beta0, beta_mid[:, None], sdf, z_vals, dists, d_star, valid
+            )
+            ok = err <= cfg.eps
+            return (
+                jnp.where(ok, beta_min, beta_mid),
+                jnp.where(ok, beta_mid, beta_max),
+            )
+
+        _, beta = jax.lax.fori_loop(
+            0, cfg.beta_iters, body, (jnp.full((R,), beta0), beta)
+        )
+        return beta
+
+    def upsample_round(carry, it):
+        z_vals, sdf, beta = carry
         dists = z_vals[:, 1:] - z_vals[:, :-1]
         d_star = _d_star(z_vals, sdf)
+        n_real = Ne * (it + 1)
+        interval_valid = jnp.arange(M - 1)[None, :] < (n_real - 1)
+        beta = bisect(beta, sdf, z_vals, dists, d_star, interval_valid)
 
-        # line-search beta: converged rays collapse to beta0 and stay
-        curr_err = _error_bound(beta0, beta[:, None], sdf, z_vals, dists, d_star)
-        beta = jnp.where(curr_err <= cfg.eps, beta0, beta)
-        beta_min = jnp.full((R,), beta0)
-        beta_max = beta
-        for _ in range(cfg.beta_iters):
-            beta_mid = 0.5 * (beta_min + beta_max)
-            err = _error_bound(beta0, beta_mid[:, None], sdf, z_vals, dists, d_star)
-            ok = err <= cfg.eps
-            beta_max = jnp.where(ok, beta_mid, beta_max)
-            beta_min = jnp.where(ok, beta_min, beta_mid)
-        beta = beta_max
-
-        if it == cfg.max_total_iters - 1:
-            break
-
-        # upsample N_samples_eval more points ∝ current error bound
-        dists_inf = jnp.concatenate(
-            [dists, jnp.full((R, 1), 1e10)], axis=-1
-        )
+        # error-bound pdf over the current table; padded bins masked to zero
+        dists_inf = jnp.concatenate([dists, jnp.full((R, 1), 1e10)], axis=-1)
         density = _laplace_density_beta(sdf, beta[:, None])
         free_energy = dists_inf * density
         shifted = jnp.concatenate(
             [jnp.zeros((R, 1)), free_energy[:, :-1]], axis=-1
         )
         transmittance = jnp.exp(-jnp.cumsum(shifted, axis=-1))
-
         err_per_sec = (
             jnp.exp(-d_star / beta[:, None])
             * (dists_inf[:, :-1] ** 2)
@@ -207,23 +243,38 @@ def error_bound_z_vals(
         bound_opacity = (
             jnp.clip(jnp.exp(err_int), max=1e6) - 1.0
         ) * transmittance[:, :-1]
-        pdf = bound_opacity + cfg.add_tiny
-        pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
+
+        pdf = jnp.where(interval_valid, bound_opacity + cfg.add_tiny, 0.0)
+        pdf = pdf / jnp.maximum(jnp.sum(pdf, axis=-1, keepdims=True), 1e-30)
         cdf = jnp.cumsum(pdf, axis=-1)
 
-        N = cfg.N_samples_eval
-        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, N)[None], (R, N))
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, Ne)[None], (R, Ne))
         new_samples = sample_pdf(z_vals, cdf, u)
-
         new_sdf = query(new_samples)
-        z_cat = jnp.concatenate([z_vals, new_samples], axis=-1)
-        sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
-        order = jnp.argsort(z_cat, axis=-1)
-        z_vals = jnp.take_along_axis(z_cat, order, axis=-1)
-        sdf = jnp.take_along_axis(sdf_cat, order, axis=-1)
 
-    # final sample set from the transmittance weights at the converged beta
+        # write the new entries into the next padding block, then re-sort
+        z_vals = jax.lax.dynamic_update_slice(
+            z_vals, new_samples, (0, n_real)
+        )
+        sdf = jax.lax.dynamic_update_slice(sdf, new_sdf, (0, n_real))
+        order = jnp.argsort(z_vals, axis=-1)
+        z_vals = jnp.take_along_axis(z_vals, order, axis=-1)
+        sdf = jnp.take_along_axis(sdf, order, axis=-1)
+        return (z_vals, sdf, beta), None
+
+    if cfg.max_total_iters > 1:
+        (z_buf, sdf_buf, beta), _ = jax.lax.scan(
+            upsample_round, (z_buf, sdf_buf, beta),
+            jnp.arange(cfg.max_total_iters - 1),
+        )
+
+    # last round: bisect only (the reference's final loop pass does not add
+    # samples), then draw the final sample set from transmittance weights
+    z_vals, sdf = z_buf, sdf_buf
     dists = z_vals[:, 1:] - z_vals[:, :-1]
+    d_star = _d_star(z_vals, sdf)
+    beta = bisect(beta, sdf, z_vals, dists, d_star)
+
     dists_inf = jnp.concatenate([dists, jnp.full((R, 1), 1e10)], axis=-1)
     density = _laplace_density_beta(sdf, beta[:, None])
     free_energy = dists_inf * density
@@ -255,7 +306,11 @@ def error_bound_z_vals(
         z_extra = jnp.concatenate([near_col, far_col], axis=-1)
 
     z_out = jnp.sort(jnp.concatenate([z_samples, z_extra], axis=-1), axis=-1)
-    return z_out
+    # the sampler is a sampling *strategy*, not a differentiable quantity —
+    # the reference evaluates it entirely under no_grad (ray_sampler.py:170);
+    # cutting the gradient here keeps the whole refinement graph out of the
+    # backward pass
+    return jax.lax.stop_gradient(z_out)
 
 
 def inverse_sphere_z_vals(

@@ -15,12 +15,23 @@ from ..models.holdnet import holdnet_forward
 
 
 def make_chunk_renderer(scene, mesh_state, pixel_per_batch: int = 512):
-    """Returns render_chunk(params, batch_chunk) -> dict of (P, C) numpy."""
+    """Returns render_chunk(params, batch_chunk) -> dict of (P, C) numpy.
+
+    Two jitted stages (sampler / shading) for the same compiler-stability
+    reason as the train step."""
+    from ..models.holdnet import sample_all_z
+
+    sample_fn = jax.jit(
+        lambda params, batch: sample_all_z(
+            params, scene, batch, None, None, None, training=False
+        )
+    )
 
     @jax.jit
-    def chunk_fn(params, batch):
+    def shade_fn(params, batch, z_vals):
         out = holdnet_forward(
-            params, scene, batch, mesh_state, None, None, None, training=False
+            params, scene, batch, mesh_state, None, None, None,
+            training=False, z_vals_dict=z_vals,
         )
         keep = {
             "rgb": out["rgb"],
@@ -36,6 +47,10 @@ def make_chunk_renderer(scene, mesh_state, pixel_per_batch: int = 512):
             keep[f"{nid}.mask_prob"] = out[f"{nid}.mask_prob"]
             keep[f"{nid}.normal"] = out[f"{nid}.normal"]
         return keep
+
+    def chunk_fn(params, batch):
+        z_vals = sample_fn(params, batch)
+        return shade_fn(params, batch, z_vals)
 
     return chunk_fn
 

@@ -66,10 +66,22 @@ def optimizer_for(args, params):
 
 
 def make_train_step(scene, tx):
-    def step_fn(params, opt_state, batch, mesh_state, key, step, epoch):
+    """Two jitted stages: the (stop-gradient) error-bound sampler and the
+    render+loss+grad step — compiled separately because the fused graph
+    crashes the TPU compiler's fusion pass at production sizes."""
+    from .models.holdnet import sample_all_z
+
+    sample_fn = jax.jit(
+        lambda params, batch, key, step, epoch: sample_all_z(
+            params, scene, batch, key, step, epoch, training=True
+        )
+    )
+
+    def step_fn(params, opt_state, batch, mesh_state, z_vals, key, step, epoch):
         def loss_fn(p):
             out = holdnet_forward(
-                p, scene, batch, mesh_state, key, step, epoch, training=True
+                p, scene, batch, mesh_state, key, step, epoch, training=True,
+                z_vals_dict=z_vals,
             )
             losses = compute_losses(batch, out, scene.node_ids, step)
             aux = dict(losses)
@@ -81,12 +93,24 @@ def make_train_step(scene, tx):
         params = optax.apply_updates(params, updates)
         return params, opt_state, aux
 
-    return jax.jit(step_fn, donate_argnums=(0, 1))
+    grad_fn = jax.jit(step_fn, donate_argnums=(0, 1))
+
+    def train_step(params, opt_state, batch, mesh_state, key, step, epoch):
+        k_sample, k_loss = jax.random.split(key)
+        z_vals = sample_fn(params, batch, k_sample, step, epoch)
+        return grad_fn(
+            params, opt_state, batch, mesh_state, z_vals, k_loss, step, epoch
+        )
+
+    return train_step
 
 
 def run_training(args, cfg, seq: SequenceData | None = None,
                  max_steps: int | None = None):
     """Programmatic entry (also used by tests/bench)."""
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     if seq is None:
         seq = SequenceData(args.case, args.data_root, num_sample=args.num_sample)
     opt_model = dict(cfg["model"])

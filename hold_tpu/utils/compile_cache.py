@@ -1,0 +1,26 @@
+"""Persistent XLA compilation cache.
+
+The TPU environment compiles through a remote service with very high
+first-compile latency (minutes for mid-sized graphs); the persistent cache
+makes every subsequent process reuse serialized executables.  Thresholds are
+forced because the default min-compile-time heuristic skips writes under this
+backend.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> None:
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "HOLD_TPU_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
