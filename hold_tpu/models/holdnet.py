@@ -238,7 +238,7 @@ def _eikonal_grad_samples(rng, nparams, plans, cond_pose, centers, local_sigma,
     N = pts.shape[1]
 
     def sdf_sum(p_flat):
-        from .mlp import apply_implicit_net
+        from .mlp import apply_implicit_trunk, implicit_sdf_from_trunk
         from .nodes import _flat_per_point
 
         cond = (
@@ -246,13 +246,13 @@ def _eikonal_grad_samples(rng, nparams, plans, cond_pose, centers, local_sigma,
             if cond_pose is not None and cond_pose.shape[-1] > 0
             else jnp.zeros((p_flat.shape[0], 0))
         )
-        out = apply_implicit_net(
+        h = apply_implicit_trunk(
             nparams["implicit"], plans.implicit, p_flat, cond, step=step,
             barf_cfg=plans.barf_cfg,
         )
-        return jnp.sum(out[:, 0]), out
+        return jnp.sum(implicit_sdf_from_trunk(nparams["implicit"], h))
 
-    grads = jax.grad(sdf_sum, has_aux=True)(pts.reshape(-1, 3))[0]
+    grads = jax.grad(sdf_sum)(pts.reshape(-1, 3))
     return grads.reshape(B, N, 3)
 
 
@@ -294,8 +294,12 @@ def prepare_loss_targets_hand(
     )
     out["pred_sdf"] = pred[:, 0].reshape(B, Ns)
 
-    cano_pts = sample_dict["canonical_pts"].reshape(-1, 3)
-    sd = signed_distance_to_mesh(cano_pts, v_div, faces_div_j, chunk=8192)
+    # off-surface classification is index computation, not a loss surface —
+    # the reference's kaolin ops are non-differentiable anyway
+    cano_pts = jax.lax.stop_gradient(
+        sample_dict["canonical_pts"].reshape(-1, 3)
+    )
+    sd = signed_distance_to_mesh(cano_pts, v_div, faces_div_j, chunk=1024)
     off, _ = check_off_in_surface(sd, B * P, threshold=0.01)
     out["index_off_surface"] = off  # (B*P,)
 
@@ -316,14 +320,16 @@ def prepare_loss_targets_object(
     out = {}
     B, P, S_f, _ = sample_dict["canonical_pts"].shape
 
-    cano_pts = sample_dict["canonical_pts"].reshape(-1, 3)
+    cano_pts = jax.lax.stop_gradient(
+        sample_dict["canonical_pts"].reshape(-1, 3)
+    )
     # distances against the padded marching-cubes mesh; padding faces sit at
     # PAD_FAR so they never win the min
     from ..ops.point_mesh import point_mesh_sqdist, winding_number
 
     tri = mesh_state["tri"]
-    dist = jnp.sqrt(jnp.maximum(point_mesh_sqdist(cano_pts, tri, chunk=8192), 0.0))
-    wn = winding_number(cano_pts, tri, chunk=8192)
+    dist = jnp.sqrt(jnp.maximum(point_mesh_sqdist(cano_pts, tri, chunk=512), 0.0))
+    wn = winding_number(cano_pts, tri, chunk=512)
     sd = jnp.where(wn > 0.5, -1.0, 1.0) * dist
     off, _ = check_off_in_surface(sd, B * P, threshold=0.05)
     out["index_off_surface"] = off

@@ -54,8 +54,12 @@ def _apply_linear(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def softplus100(x: jnp.ndarray) -> jnp.ndarray:
-    """Softplus with beta=100 (numerically-stable scaled form)."""
-    return jax.nn.softplus(100.0 * x) / 100.0
+    """Softplus with beta=100, in the split max/log1p form.
+
+    Mathematically identical to jax.nn.softplus(100*x)/100, but that graph's
+    double-backward (needed for eikonal/normal terms) reliably SIGILLs the
+    TPU compiler at depth >= ~6; this formulation compiles cleanly."""
+    return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(100.0 * x))) / 100.0
 
 
 # --------------------------------------------------------------------------
@@ -137,6 +141,58 @@ def init_implicit_net(rng, opt, specs, barf_s: int = 0, barf_e: int = 1) -> dict
             p = _weight_normalize(p)
         layers.append(p)
     return {"layers": layers}
+
+
+def apply_implicit_trunk(
+    params: dict,
+    plan: dict,
+    x: jnp.ndarray,
+    cond: jnp.ndarray | None,
+    step=None,
+    barf_cfg: tuple[int, int] = (0, 1),
+) -> jnp.ndarray:
+    """All layers up to (and including) the last hidden activation: (N, W)."""
+    if plan["multires"] > 0:
+        embed = make_embedder(plan["embedding"], plan["multires"], *barf_cfg)
+        x = embed(x, step)
+    inp = x
+    if plan["cond"] != "none" and plan["cond_dim"] == 45 and cond is not None:
+        cond = cond * 0.0
+    h = x
+    for l in range(plan["num_layers"] - 2):
+        if plan["cond"] != "none" and l == 0 and plan["cond_dim"] > 0:
+            h = jnp.concatenate([h, cond], axis=-1)
+        if l in plan["skip_in"]:
+            h = jnp.concatenate([h, inp], axis=-1) / np.sqrt(2)
+        h = _apply_linear(params["layers"][l], h)
+        h = softplus100(h)
+    return h
+
+
+def _last_layer_weight(params: dict) -> tuple[jnp.ndarray, jnp.ndarray]:
+    layer = params["layers"][-1]
+    if "v" in layer:
+        v, g = layer["v"], layer["g"]
+        w = g * v / jnp.linalg.norm(v, axis=1, keepdims=True)
+    else:
+        w = layer["w"]
+    return w, layer["b"]
+
+
+def implicit_sdf_from_trunk(params: dict, h: jnp.ndarray) -> jnp.ndarray:
+    """Scalar SDF head (row 0 of the output layer): (N,).
+
+    Kept width-1 on purpose: the double-backward (eikonal / normals) only
+    traverses this head — the TPU compiler SIGILLs on second-order graphs
+    through wide output matmuls, but a width-1 head is safe."""
+    w, b = _last_layer_weight(params)
+    return h @ w[0] + b[0]
+
+
+def implicit_feat_from_trunk(params: dict, h: jnp.ndarray) -> jnp.ndarray:
+    """Feature head (rows 1:): (N, F). First-order only."""
+    w, b = _last_layer_weight(params)
+    return h @ w[1:].T + b[1:]
 
 
 def apply_implicit_net(

@@ -27,7 +27,13 @@ from ..render.ray_sampler import SamplerConfig, error_bound_z_vals
 from ..utils.transforms import inverse_mat3
 from ..ops.chunk import map_chunked
 from .density import laplace_beta, laplace_density
-from .mlp import apply_implicit_net, apply_rendering_net
+from .mlp import (
+    apply_implicit_net,
+    apply_implicit_trunk,
+    apply_rendering_net,
+    implicit_feat_from_trunk,
+    implicit_sdf_from_trunk,
+)
 from .object_model import ObjectServerState, object_deform, object_server_forward
 from .specs import CLASS_IDS, MAX_CLASS
 
@@ -151,41 +157,62 @@ def mano_node_forward(
 
     points = cam_loc[:, None, :] + z_vals[:, :, None] * ray_dirs[:, None, :]
     pts = points.reshape(B, P * S_f, 3)
-
-    # final (with-grad) canonical warp
-    x_c, outlier = inverse_warp(pts)
-    x_c_flat = x_c.reshape(-1, 3)
     N_pts = B * P * S_f
 
-    # forward-skinning Jacobian at canonical points (weights vs cano verts)
-    w_cano, _ = knn_blend_weights(
-        x_c, verts_c, skin_w, K=plans.knn_k, max_dist=plans.max_dist
+    # KNN weights against the per-frame POSED verts must run per frame
+    # (outside the chunk loop); they are stop-gradient by contract
+    w_d, outlier = knn_blend_weights(
+        pts, verts_posed, skin_w, K=plans.knn_k, max_dist=plans.max_dist
     )
-    J = skinning_jacobian(w_cano, tfs).reshape(-1, 3, 3)
-    Jinv = inverse_mat3(J)
 
     cond_pp = _flat_per_point(cond_pose, P * S_f)
     view = -jnp.broadcast_to(
         ray_dirs[:, None, :], (B * P, S_f, 3)
     ).reshape(-1, 3)
+    fidx_pp = jnp.broadcast_to(
+        jnp.arange(B)[:, None], (B, P * S_f)
+    ).reshape(-1)
+    verts_c1 = server.verts_c  # (1, V, 3)
+    skin_w1 = server.skin_weights_c  # (1, V, J)
 
-    # chunked per-point shading: one fused forward+vjp per chunk gives sdf,
-    # features, and dSDF/dx_c (replaces the reference's double implicit
-    # forward + autograd pass at volsdf_utils.py:82-105); chunking bounds the
-    # fusion size — see ops/chunk.py
-    def shade(xc, cond, vw, jinv):
+    # chunked per-point pipeline — inverse LBS warp, fused SDF forward+vjp
+    # (replaces the reference's double implicit forward + autograd pass at
+    # volsdf_utils.py:82-105), skinning-Jacobian normals, color MLP.
+    # Everything differentiated lives inside the chunk so each transposed
+    # fusion stays below the TPU compiler's crash threshold (ops/chunk.py).
+    def shade(xp, wd, fi, cond, vw):
+        tfs_pt = tfs[fi]  # (C, 16, 4, 4); backward scatter-adds into tfs
+        w_tf = jnp.einsum("pj,pjmn->pmn", wd, tfs_pt)
+        from ..utils.transforms import inverse_affine4
+
+        inv = inverse_affine4(w_tf)
+        xc = (
+            jnp.einsum("pmn,pn->pm", inv[:, :3, :3], xp) + inv[:, :3, 3]
+        )
+
+        # scalar-head field for the normal gradient: only the width-1 SDF
+        # head participates in the second-order graph (see mlp.py note on
+        # the TPU compiler)
         def field(p):
-            out = apply_implicit_net(
+            h = apply_implicit_trunk(
                 nparams["implicit"], plans.implicit, p, cond,
                 step=step, barf_cfg=plans.barf_cfg,
             )
-            return out[:, 0], out
+            return implicit_sdf_from_trunk(nparams["implicit"], h), h
 
-        (sdf, full_out), vjp = jax.vjp(field, xc)
-        g = vjp((jnp.ones_like(sdf), jnp.zeros_like(full_out)))[0]
-        feat = full_out[:, 1:]
+        (sdf, h_trunk), vjp = jax.vjp(field, xc)
+        g = vjp((jnp.ones_like(sdf), jnp.zeros_like(h_trunk)))[0]
+        feat = implicit_feat_from_trunk(nparams["implicit"], h_trunk)
+
+        # forward-skinning Jacobian at canonical points: weights queried
+        # against the CANONICAL verts (deformer.py:70-82), frame-independent
+        w_cano, _ = knn_blend_weights(
+            xc[None], verts_c1, skin_w1, K=plans.knn_k,
+            max_dist=plans.max_dist,
+        )
+        J = jnp.einsum("pj,pjmn->pmn", w_cano[0], tfs_pt[:, :, :3, :3])
         # n_j = sum_i g_i (J^-1)_{ij}  (volsdf_utils.py:98-102)
-        nrm = jnp.einsum("ni,nij->nj", g, jinv)
+        nrm = jnp.einsum("ni,nij->nj", g, inverse_mat3(J))
         nrm = nrm / jnp.maximum(
             jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6
         )
@@ -193,10 +220,12 @@ def mano_node_forward(
             nparams["rendering"], plans.rendering,
             xc, nrm, vw, cond, feat, step=step, barf_cfg=plans.barf_cfg,
         )
-        return sdf, rgb, nrm
+        return sdf, rgb, nrm, xc
 
-    sdf_flat, rgb, normals = map_chunked(
-        shade, (x_c_flat, cond_pp, view, Jinv), N_pts
+    sdf_flat, rgb, normals, x_c_flat = map_chunked(
+        shade, (pts.reshape(-1, 3), w_d.reshape(-1, w_d.shape[-1]), fidx_pp,
+                cond_pp, view),
+        N_pts, remat=True,
     )
 
     density = laplace_density(nparams["density"], sdf_flat).reshape(B * P, S_f, 1)
@@ -210,7 +239,7 @@ def mano_node_forward(
         "z_vals": z_vals,
     }
     sample_dict = {
-        "canonical_pts": x_c.reshape(B, P, S_f, 3),
+        "canonical_pts": x_c_flat.reshape(B, P, S_f, 3),
         "cond_pose": cond_pose,
         "tfs": tfs,
         "verts_posed": verts_posed,
@@ -288,15 +317,15 @@ def object_node_forward(
         cond = jnp.zeros((xc.shape[0], 0))
 
         def field(p):
-            out = apply_implicit_net(
+            h = apply_implicit_trunk(
                 nparams["implicit"], plans.implicit, p, cond,
                 step=step, barf_cfg=plans.barf_cfg,
             )
-            return out[:, 0], out
+            return implicit_sdf_from_trunk(nparams["implicit"], h), h
 
-        (sdf, full_out), vjp = jax.vjp(field, xc)
-        g = vjp((jnp.ones_like(sdf), jnp.zeros_like(full_out)))[0]
-        feat = full_out[:, 1:]
+        (sdf, h_trunk), vjp = jax.vjp(field, xc)
+        g = vjp((jnp.ones_like(sdf), jnp.zeros_like(h_trunk)))[0]
+        feat = implicit_feat_from_trunk(nparams["implicit"], h_trunk)
         nrm = jnp.einsum("ni,nij->nj", g, jinv)
         nrm = nrm / jnp.maximum(
             jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6
@@ -310,7 +339,7 @@ def object_node_forward(
         return sdf, rgb, nrm
 
     sdf_flat, rgb, normals = map_chunked(
-        shade, (x_c_flat, view, rinv_pp, tc_pp), N_pts
+        shade, (x_c_flat, view, rinv_pp, tc_pp), N_pts, remat=True
     )
 
     density = laplace_density(nparams["density"], sdf_flat).reshape(B * P, S_f, 1)

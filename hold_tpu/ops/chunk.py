@@ -12,14 +12,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-DEFAULT_CHUNK = 65536
+DEFAULT_CHUNK = 16384
 
 
-def map_chunked(body, args: tuple, n: int, chunk: int = DEFAULT_CHUNK):
+def map_chunked(body, args: tuple, n: int, chunk: int = DEFAULT_CHUNK,
+                remat: bool = False):
     """Apply ``body(*chunk_args) -> pytree of (C, ...)`` over a flat axis.
 
     args: tuple of arrays with leading dim n.  Returns outputs with leading
-    dim n.  If n <= chunk the body is called directly (no scan)."""
+    dim n.  If n <= chunk the body is called directly (no scan).
+    remat=True rematerialises the body in the backward pass (stores only
+    chunk inputs, recomputes activations) — trades one extra forward for
+    ~8x lower HBM residency of the MLP trunk activations."""
+    if remat:
+        body = jax.checkpoint(body)
     if n <= chunk:
         return body(*args)
 
