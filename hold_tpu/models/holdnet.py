@@ -18,7 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mano.server import ManoServerState, build_mano_server
-from ..ops.point_mesh import check_off_in_surface, signed_distance_to_mesh
+from ..ops.point_mesh import (
+    check_off_in_surface,
+    face_circumradius_bound,
+    off_surface_by_vertex_bound,
+    signed_distance_to_mesh,
+)
 from ..ops.sampling import (
     HAND_GLOBAL_SIGMA_XYZ,
     point_in_space_sample,
@@ -200,24 +205,39 @@ def empty_object_mesh_state() -> dict:
     """Fixed-shape buffers for the object's marching-cubes canonical mesh."""
     return {
         "tri": jnp.full((OBJ_MESH_MAX_F, 3, 3), PAD_FAR, jnp.float32),
-        "centers": jnp.zeros((4096, 3), jnp.float32),
+        "centers": jnp.zeros((16384, 3), jnp.float32),
         "sigma_xyz": jnp.ones((3,), jnp.float32),
+        "h_margin": jnp.asarray(0.0, jnp.float32),
         "valid": jnp.asarray(0.0, jnp.float32),
     }
 
 
 def object_mesh_state_from_mesh(vertices: np.ndarray, faces: np.ndarray) -> dict:
+    # decimate so the vertex set fits the fixed buffers (the vertex-distance
+    # off-surface bound needs EVERY vertex present, not a truncation)
+    from ..utils.mesh import decimate_mesh
+
+    if faces.shape[0] > OBJ_MESH_MAX_F or vertices.shape[0] > 16384:
+        m = decimate_mesh(vertices, faces, OBJ_MESH_MAX_F // 2)
+        vertices, faces = m.vertices, m.faces
+        if vertices.shape[0] > 16384:  # extreme fallback
+            m = decimate_mesh(vertices, faces, 8000)
+            vertices, faces = m.vertices, m.faces
     tri = np.full((OBJ_MESH_MAX_F, 3, 3), PAD_FAR, np.float32)
     F = min(faces.shape[0], OBJ_MESH_MAX_F)
     tri[:F] = vertices[faces[:F]]
     sigma = np.abs(vertices).max(axis=0) * 1.1
-    # fixed-size eikonal sampling centers: mesh vertices tiled cyclically
-    reps = int(np.ceil(4096 / max(vertices.shape[0], 1)))
-    centers = np.tile(vertices, (reps, 1))[:4096].astype(np.float32)
+    # fixed-size eikonal/bound centers: every vertex, tiled cyclically
+    reps = int(np.ceil(16384 / max(vertices.shape[0], 1)))
+    centers = np.tile(vertices, (reps, 1))[:16384].astype(np.float32)
+    h = float(np.asarray(face_circumradius_bound(
+        np.asarray(vertices, np.float32), np.asarray(faces)
+    )))
     return {
         "tri": jnp.asarray(tri),
         "centers": jnp.asarray(centers),
         "sigma_xyz": jnp.asarray(sigma, jnp.float32),
+        "h_margin": jnp.asarray(h, jnp.float32),
         "valid": jnp.asarray(1.0, jnp.float32),
     }
 
@@ -295,13 +315,16 @@ def prepare_loss_targets_hand(
     out["pred_sdf"] = pred[:, 0].reshape(B, Ns)
 
     # off-surface classification is index computation, not a loss surface —
-    # the reference's kaolin ops are non-differentiable anyway
+    # the reference's kaolin ops are non-differentiable anyway; the exact
+    # triangle sweep is replaced by the conservative vertex-distance bound
+    # (ops/point_mesh.py:off_surface_by_vertex_bound)
     cano_pts = jax.lax.stop_gradient(
         sample_dict["canonical_pts"].reshape(-1, 3)
     )
-    sd = signed_distance_to_mesh(cano_pts, v_div, faces_div_j, chunk=1024)
-    off, _ = check_off_in_surface(sd, B * P, threshold=0.01)
-    out["index_off_surface"] = off  # (B*P,)
+    h_margin = face_circumradius_bound(v_div, faces_div_j)
+    out["index_off_surface"] = off_surface_by_vertex_bound(
+        cano_pts, v_div, B * P, 0.01, h_margin
+    )
 
     verts_c = jnp.broadcast_to(server.verts_c, (B,) + server.verts_c.shape[1:])
     out["grad_theta"] = _eikonal_grad_samples(
@@ -323,16 +346,11 @@ def prepare_loss_targets_object(
     cano_pts = jax.lax.stop_gradient(
         sample_dict["canonical_pts"].reshape(-1, 3)
     )
-    # distances against the padded marching-cubes mesh; padding faces sit at
-    # PAD_FAR so they never win the min
-    from ..ops.point_mesh import point_mesh_sqdist, winding_number
-
-    tri = mesh_state["tri"]
-    dist = jnp.sqrt(jnp.maximum(point_mesh_sqdist(cano_pts, tri, chunk=512), 0.0))
-    wn = winding_number(cano_pts, tri, chunk=512)
-    sd = jnp.where(wn > 0.5, -1.0, 1.0) * dist
-    off, _ = check_off_in_surface(sd, B * P, threshold=0.05)
-    out["index_off_surface"] = off
+    # conservative vertex-distance bound against the cached mesh vertex set
+    # (padding centers sit at 0 but validity is gated by mesh_state['valid'])
+    out["index_off_surface"] = off_surface_by_vertex_bound(
+        cano_pts, mesh_state["centers"], B * P, 0.05, mesh_state["h_margin"]
+    )
 
     # eikonal samples around the object cano mesh vertices
     centers = jnp.broadcast_to(

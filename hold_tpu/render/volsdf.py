@@ -7,6 +7,7 @@ with static shapes and sort/gather patterns XLA vectorises on TPU.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -51,15 +52,27 @@ def merge_factors(factors_list: list[dict], num_nodes: int | None = None) -> dic
     if num_nodes is None:
         num_nodes = len(factors_list)
     z_cat = jnp.concatenate([f["z_vals"] for f in factors_list], axis=1)
-    order = jnp.argsort(z_cat, axis=1)
-    z_sorted = jnp.take_along_axis(z_cat, order, axis=1)
 
-    out = {}
+    # one variadic sort carries every factor channel as a payload — far
+    # cheaper on TPU than argsort + per-channel take_along_axis gathers
+    chans = []  # (key, channel_idx) per payload operand
+    ops = [z_cat]
     for k in factors_list[0]:
         if k == "z_vals":
             continue
         cat = jnp.concatenate([f[k] for f in factors_list], axis=1)
-        out[k] = jnp.take_along_axis(cat, order[:, :, None], axis=1)
+        for c in range(cat.shape[-1]):
+            chans.append((k, c, cat.shape[-1]))
+            ops.append(cat[:, :, c])
+    sorted_ops = jax.lax.sort(tuple(ops), dimension=1, num_keys=1)
+    z_sorted = sorted_ops[0]
+
+    out = {}
+    gathered: dict = {}
+    for (k, c, C), arr in zip(chans, sorted_ops[1:]):
+        gathered.setdefault(k, [None] * C)[c] = arr
+    for k, cols in gathered.items():
+        out[k] = jnp.stack(cols, axis=-1)
 
     if num_nodes > 1:
         sl = slice(num_nodes - 1, -num_nodes)
