@@ -49,7 +49,9 @@ def sem_loss(sem_pred: jnp.ndarray, mask_gt: jnp.ndarray) -> jnp.ndarray:
 
 
 def eikonal_loss(grad_theta: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean((jnp.linalg.norm(grad_theta, axis=-1) - 1.0) ** 2)
+    from ..utils.transforms import safe_norm
+
+    return jnp.mean((safe_norm(grad_theta) - 1.0) ** 2)
 
 
 def opacity_sparse_loss(mask_prob: jnp.ndarray, off_surface: jnp.ndarray) -> jnp.ndarray:

@@ -24,7 +24,7 @@ import numpy as np
 from ..mano.server import ManoServerState, mano_server_forward
 from ..ops.knn import knn_blend_weights, skinning, skinning_jacobian
 from ..render.ray_sampler import SamplerConfig, error_bound_z_vals
-from ..utils.transforms import inverse_mat3
+from ..utils.transforms import inverse_mat3, safe_norm
 from ..ops.chunk import map_chunked
 from .density import laplace_beta, laplace_density
 from .mlp import (
@@ -159,40 +159,37 @@ def mano_node_forward(
     pts = points.reshape(B, P * S_f, 3)
     N_pts = B * P * S_f
 
-    # KNN weights against the per-frame POSED verts must run per frame
-    # (outside the chunk loop); they are stop-gradient by contract
+    # KNN weights against the per-frame POSED verts (stop-gradient contract);
+    # efficient batched pallas shape, outside the remat region so it is
+    # never recomputed
     w_d, outlier = knn_blend_weights(
         pts, verts_posed, skin_w, K=plans.knn_k, max_dist=plans.max_dist
+    )
+
+    # inverse LBS warp at full width: elementwise chains — safe fusions
+    x_c = skinning(pts, w_d, tfs, inverse=True)  # (B, P*S, 3)
+    x_c_flat = x_c.reshape(-1, 3)
+
+    # forward-skinning Jacobian at canonical points: weights queried against
+    # the CANONICAL verts (deformer.py:70-82), batched pallas call
+    w_cano, _ = knn_blend_weights(
+        x_c, jnp.broadcast_to(server.verts_c, (B,) + server.verts_c.shape[1:]),
+        skin_w, K=plans.knn_k, max_dist=plans.max_dist,
+    )
+    Jinv = inverse_mat3(
+        skinning_jacobian(w_cano, tfs).reshape(-1, 3, 3)
     )
 
     cond_pp = _flat_per_point(cond_pose, P * S_f)
     view = -jnp.broadcast_to(
         ray_dirs[:, None, :], (B * P, S_f, 3)
     ).reshape(-1, 3)
-    fidx_pp = jnp.broadcast_to(
-        jnp.arange(B)[:, None], (B, P * S_f)
-    ).reshape(-1)
-    verts_c1 = server.verts_c  # (1, V, 3)
-    skin_w1 = server.skin_weights_c  # (1, V, J)
 
-    # chunked per-point pipeline — inverse LBS warp, fused SDF forward+vjp
-    # (replaces the reference's double implicit forward + autograd pass at
-    # volsdf_utils.py:82-105), skinning-Jacobian normals, color MLP.
-    # Everything differentiated lives inside the chunk so each transposed
-    # fusion stays below the TPU compiler's crash threshold (ops/chunk.py).
-    def shade(xp, wd, fi, cond, vw):
-        tfs_pt = tfs[fi]  # (C, 16, 4, 4); backward scatter-adds into tfs
-        w_tf = jnp.einsum("pj,pjmn->pmn", wd, tfs_pt)
-        from ..utils.transforms import inverse_affine4
-
-        inv = inverse_affine4(w_tf)
-        xc = (
-            jnp.einsum("pmn,pn->pm", inv[:, :3, :3], xp) + inv[:, :3, 3]
-        )
-
-        # scalar-head field for the normal gradient: only the width-1 SDF
-        # head participates in the second-order graph (see mlp.py note on
-        # the TPU compiler)
+    # chunked per-point shading: fused SDF forward+vjp through the scalar
+    # head (replaces the reference's double implicit forward + autograd pass
+    # at volsdf_utils.py:82-105) + color MLP; only the MLPs live inside the
+    # remat'd chunk, so the backward recompute is just the trunks
+    def shade(xc, cond, vw, jinv):
         def field(p):
             h = apply_implicit_trunk(
                 nparams["implicit"], plans.implicit, p, cond,
@@ -204,28 +201,17 @@ def mano_node_forward(
         g = vjp((jnp.ones_like(sdf), jnp.zeros_like(h_trunk)))[0]
         feat = implicit_feat_from_trunk(nparams["implicit"], h_trunk)
 
-        # forward-skinning Jacobian at canonical points: weights queried
-        # against the CANONICAL verts (deformer.py:70-82), frame-independent
-        w_cano, _ = knn_blend_weights(
-            xc[None], verts_c1, skin_w1, K=plans.knn_k,
-            max_dist=plans.max_dist,
-        )
-        J = jnp.einsum("pj,pjmn->pmn", w_cano[0], tfs_pt[:, :, :3, :3])
         # n_j = sum_i g_i (J^-1)_{ij}  (volsdf_utils.py:98-102)
-        nrm = jnp.einsum("ni,nij->nj", g, inverse_mat3(J))
-        nrm = nrm / jnp.maximum(
-            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6
-        )
+        nrm = jnp.einsum("ni,nij->nj", g, jinv)
+        nrm = nrm / jnp.maximum(safe_norm(nrm, keepdims=True), 1e-6)
         rgb = apply_rendering_net(
             nparams["rendering"], plans.rendering,
             xc, nrm, vw, cond, feat, step=step, barf_cfg=plans.barf_cfg,
         )
-        return sdf, rgb, nrm, xc
+        return sdf, rgb, nrm
 
-    sdf_flat, rgb, normals, x_c_flat = map_chunked(
-        shade, (pts.reshape(-1, 3), w_d.reshape(-1, w_d.shape[-1]), fidx_pp,
-                cond_pp, view),
-        N_pts, remat=True,
+    sdf_flat, rgb, normals = map_chunked(
+        shade, (x_c_flat, cond_pp, view, Jinv), N_pts, remat=True,
     )
 
     density = laplace_density(nparams["density"], sdf_flat).reshape(B * P, S_f, 1)
@@ -327,9 +313,7 @@ def object_node_forward(
         g = vjp((jnp.ones_like(sdf), jnp.zeros_like(h_trunk)))[0]
         feat = implicit_feat_from_trunk(nparams["implicit"], h_trunk)
         nrm = jnp.einsum("ni,nij->nj", g, jinv)
-        nrm = nrm / jnp.maximum(
-            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6
-        )
+        nrm = nrm / jnp.maximum(safe_norm(nrm, keepdims=True), 1e-6)
         rgb = apply_rendering_net(
             nparams["rendering"], plans.rendering,
             xc, nrm, vw, jnp.zeros((xc.shape[0], 0)),
@@ -360,9 +344,22 @@ def object_node_forward(
     return factors, sample_dict
 
 
+def _bf16_tree(tree):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+        tree,
+    )
+
+
 def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
                        step, epoch, rng, training):
-    """Sampler-only stage for the MANO node (stop-gradient z table)."""
+    """Sampler-only stage for the MANO node (stop-gradient z table).
+
+    The SDF queries here only *rank and place* samples (the reference runs
+    them under no_grad); they execute with bf16 matmuls — sample placement
+    tolerates the reduced precision and the MXU runs ~2x faster, while all
+    rendering/integration math stays f32."""
     B, P = batch["uv"].shape[:2]
     frame_idx = batch["frame_idx"]
     pose = gather_mano_pose(nparams["tables"], frame_idx)
@@ -380,6 +377,8 @@ def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
         server.skin_weights_c, (B,) + server.skin_weights_c.shape[1:]
     )
 
+    implicit_bf16 = _bf16_tree(nparams["implicit"])
+
     def sampler_sdf(pts_RS3):
         S = pts_RS3.shape[1]
         pts = pts_RS3.reshape(B, P * S, 3)
@@ -387,12 +386,13 @@ def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
             pts, verts_posed, skin_w, K=plans.knn_k, max_dist=plans.max_dist
         )
         x_c = skinning(pts, w, tfs, inverse=True)
-        cond = _flat_per_point(cond_pose, P * S)
+        cond = _flat_per_point(cond_pose, P * S).astype(jnp.bfloat16)
         out = apply_implicit_net(
-            nparams["implicit"], plans.implicit, x_c.reshape(-1, 3), cond,
+            implicit_bf16, plans.implicit,
+            x_c.reshape(-1, 3).astype(jnp.bfloat16), cond,
             step=step, barf_cfg=plans.barf_cfg,
         )
-        return out[:, 0].reshape(B * P, S)
+        return out[:, 0].astype(jnp.float32).reshape(B * P, S)
 
     beta0 = jax.lax.stop_gradient(laplace_beta(nparams["density"]))
     return error_bound_z_vals(
@@ -410,17 +410,19 @@ def object_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
         pose["global_orient"], obj_scale=nparams.get("obj_scale"),
     )
     tfs = srv_out.obj_tfs
+    implicit_bf16 = _bf16_tree(nparams["implicit"])
 
     def sampler_sdf(pts_RS3):
         S = pts_RS3.shape[1]
         pts = pts_RS3.reshape(B, P * S, 3)
         x_c = object_deform(pts, tfs, inverse=True)
-        cond = jnp.zeros((B * P * S, 0))
+        cond = jnp.zeros((B * P * S, 0), jnp.bfloat16)
         out = apply_implicit_net(
-            nparams["implicit"], plans.implicit, x_c.reshape(-1, 3), cond,
+            implicit_bf16, plans.implicit,
+            x_c.reshape(-1, 3).astype(jnp.bfloat16), cond,
             step=step, barf_cfg=plans.barf_cfg,
         )
-        return out[:, 0].reshape(B * P, S)
+        return out[:, 0].astype(jnp.float32).reshape(B * P, S)
 
     beta0 = jax.lax.stop_gradient(laplace_beta(nparams["density"]))
     return error_bound_z_vals(

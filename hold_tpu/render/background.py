@@ -53,16 +53,18 @@ def depth2pts_outside(ray_o: jnp.ndarray, ray_d: jnp.ndarray,
 
     ray_o/ray_d: (R, S, 3); depth: (R, S) inverse distance in [0, 1].
     Returns (R, S, 4): unit point on/beyond the sphere + inverse depth."""
+    from ..utils.transforms import safe_norm
+
     o_dot_d = jnp.sum(ray_d * ray_o, axis=-1)
     under = o_dot_d**2 - (jnp.sum(ray_o**2, -1) - radius**2)
     d_sphere = jnp.sqrt(jnp.maximum(under, 1e-10)) - o_dot_d
     p_sphere = ray_o + d_sphere[..., None] * ray_d
     p_mid = ray_o - o_dot_d[..., None] * ray_d
-    p_mid_norm = jnp.linalg.norm(p_mid, axis=-1)
+    p_mid_norm = safe_norm(p_mid)
 
     rot_axis = jnp.cross(ray_o, p_sphere)
     rot_axis = rot_axis / jnp.maximum(
-        jnp.linalg.norm(rot_axis, axis=-1, keepdims=True), 1e-12
+        safe_norm(rot_axis, keepdims=True), 1e-12
     )
     phi = jnp.arcsin(jnp.clip(p_mid_norm / radius, -1.0, 1.0))
     theta = jnp.arcsin(jnp.clip(p_mid_norm * depth, -1.0, 1.0))
@@ -75,9 +77,7 @@ def depth2pts_outside(ray_o: jnp.ndarray, ray_d: jnp.ndarray,
         + rot_axis * jnp.sum(rot_axis * p_sphere, -1, keepdims=True)
         * (1.0 - jnp.cos(ang))
     )
-    p_new = p_new / jnp.maximum(
-        jnp.linalg.norm(p_new, axis=-1, keepdims=True), 1e-12
-    )
+    p_new = p_new / jnp.maximum(safe_norm(p_new, keepdims=True), 1e-12)
     return jnp.concatenate([p_new, depth[..., None]], axis=-1)
 
 

@@ -254,6 +254,12 @@ def error_bound_z_vals(
 
         u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, Ne)[None], (R, Ne))
         new_samples = sample_pdf(z_vals, cdf, u)
+        # u == 1.0 indexes one past the real region into the padded slots
+        # (z = 1e9); clamp to the last real entry — the reference's u = 1
+        # lands on its far sample the same way. Unclamped, the 1e9 points
+        # reach sin() in the embedder, which is NaN on TPU for huge args.
+        z_last_real = jax.lax.dynamic_slice_in_dim(z_vals, n_real - 1, 1, axis=1)
+        new_samples = jnp.minimum(new_samples, z_last_real)
         new_sdf = query(new_samples)
 
         # write the new entries into the next padding block, then re-sort.

@@ -134,10 +134,10 @@ def get_camera_rays(uv: jnp.ndarray, extrinsics: jnp.ndarray,
 
     world = jnp.einsum("bij,bpj->bpi", extrinsics, pts_cam)[..., :3]
     cam_loc = extrinsics[:, :3, 3]
+    from ..utils.transforms import safe_norm
+
     dirs = world - cam_loc[:, None, :]
-    dirs = dirs / jnp.maximum(
-        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
-    )
+    dirs = dirs / jnp.maximum(safe_norm(dirs, keepdims=True), 1e-12)
     return dirs, cam_loc
 
 

@@ -169,6 +169,7 @@ def run_training(args, cfg, seq: SequenceData | None = None,
 
     timer = StepTimer()
     t_start = time.time()
+    t_window = time.time()
     step = 0
     while step < total_steps:
         epoch = step // steps_per_epoch
@@ -188,12 +189,18 @@ def run_training(args, cfg, seq: SequenceData | None = None,
         )
         if step % args.log_every == 0:
             aux = {k: float(v) for k, v in aux.items()}
-            dt = timer.stop("step")
+            timer.stop("step")
             tracker.log_dict(aux, step=step, epoch=epoch)
             rays = batch_np["uv"].shape[0] * batch_np["uv"].shape[1]
+            # window throughput: steps run async, so per-step wall time is
+            # only meaningful averaged between sync points
+            window = max(time.time() - t_window, 1e-9)
+            n_window = args.log_every if step > 0 else 1
+            t_window = time.time()
             log.info(
                 f"step {step} epoch {epoch} loss {aux['loss']:.4f} "
-                f"psnr {aux['psnr']:.2f} ({rays / max(dt, 1e-9):.0f} rays/s)"
+                f"psnr {aux['psnr']:.2f} "
+                f"({rays * n_window / window:.0f} rays/s)"
             )
         else:
             timer.stop("step")

@@ -11,6 +11,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def safe_norm(v: jnp.ndarray, axis=-1, keepdims: bool = False,
+              eps: float = 1e-12) -> jnp.ndarray:
+    """sqrt(sum(v^2) + eps): finite gradient at v = 0 (plain jnp.linalg.norm
+    backprops sqrt'(0) = inf, which turns into NaN through any 0-cotangent
+    path, e.g. gated losses or normalize-then-mask patterns)."""
+    return jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=keepdims) + eps)
+
+
 def to_homo(x: jnp.ndarray) -> jnp.ndarray:
     """(..., 3) -> (..., 4) with 1 appended."""
     return jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
