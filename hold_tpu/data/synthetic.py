@@ -161,6 +161,9 @@ def generate_sequence(
         "pts.cano": overts_c.astype(np.float32),
         "obj_scale": np.float32(obj_scale),
         "norm_mat": np.eye(4, dtype=np.float32),
+        # GT mesh topology (synthetic sequences ship exact GT; real builds
+        # get faces from the dataset-specific GT loaders)
+        "faces": ofaces.astype(np.int64),
     }
 
     # cameras: mild orbit around the scene center
