@@ -122,6 +122,8 @@ def render_silhouette(
         return log_acc, None
 
     log_acc = jnp.zeros((B, px.shape[0]))
-    log_acc, _ = jax.lax.scan(body, log_acc, (faces_chunks, valid))
+    # remat the chunk body: the (B, HW, chunk) distance tensors would
+    # otherwise be stored per scan step for the backward pass (GBs)
+    log_acc, _ = jax.lax.scan(jax.checkpoint(body), log_acc, (faces_chunks, valid))
     alpha = 1.0 - jnp.exp(log_acc)
     return alpha.reshape(B, H, W)
