@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any, NamedTuple
 
 import jax
+from jax.ad_checkpoint import checkpoint_name
 import jax.numpy as jnp
 import numpy as np
 
@@ -198,6 +199,7 @@ def mano_node_forward(
             return implicit_sdf_from_trunk(nparams["implicit"], h), h
 
         (sdf, h_trunk), vjp = jax.vjp(field, xc)
+        h_trunk = checkpoint_name(h_trunk, "saved")
         g = vjp((jnp.ones_like(sdf), jnp.zeros_like(h_trunk)))[0]
         feat = implicit_feat_from_trunk(nparams["implicit"], h_trunk)
 
@@ -310,6 +312,7 @@ def object_node_forward(
             return implicit_sdf_from_trunk(nparams["implicit"], h), h
 
         (sdf, h_trunk), vjp = jax.vjp(field, xc)
+        h_trunk = checkpoint_name(h_trunk, "saved")
         g = vjp((jnp.ones_like(sdf), jnp.zeros_like(h_trunk)))[0]
         feat = implicit_feat_from_trunk(nparams["implicit"], h_trunk)
         nrm = jnp.einsum("ni,nij->nj", g, jinv)

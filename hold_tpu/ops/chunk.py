@@ -22,10 +22,13 @@ def map_chunked(body, args: tuple, n: int, chunk: int = DEFAULT_CHUNK,
     args: tuple of arrays with leading dim n.  Returns outputs with leading
     dim n.  If n <= chunk the body is called directly (no scan).
     remat=True rematerialises the body in the backward pass (stores only
-    chunk inputs, recomputes activations) — trades one extra forward for
-    ~8x lower HBM residency of the MLP trunk activations."""
+    chunk inputs + values tagged jax.ad_checkpoint.checkpoint_name) — trades
+    recompute for ~8x lower HBM residency of the MLP activations."""
     if remat:
-        body = jax.checkpoint(body)
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names("saved"),
+        )
     if n <= chunk:
         return body(*args)
 
