@@ -140,7 +140,7 @@ def run_training(args, cfg, seq: SequenceData | None = None,
     if args.load_ckpt:
         from .utils.checkpoint import load_checkpoint
 
-        state = load_checkpoint(args.load_ckpt, {"params": params})
+        state = load_checkpoint(args.load_ckpt, {"params": params, "step": 0})
         params = state["params"]
         log.info(f"loaded weights from {args.load_ckpt}")
     if args.load_pose:
@@ -151,6 +151,23 @@ def run_training(args, cfg, seq: SequenceData | None = None,
             lambda path: "tables" in path or path[-1:] == ("obj_scale",),
         )
         log.info(f"loaded pose tables from {args.load_pose}")
+    if args.get("shape_init"):
+        # hand canonical-SDF warm start from a pretrained experiment
+        # (hold_net.py:136-152 role: implicit networks only, background and
+        # object excluded)
+        from .utils.checkpoint import latest_checkpoint, load_params_subset
+
+        src = latest_checkpoint(os.path.join(args.log_root, args.shape_init))
+        if src:
+            params = load_params_subset(
+                src, params,
+                lambda path: len(path) >= 2
+                and path[0] in ("right", "left")
+                and path[1] == "implicit",
+            )
+            log.info(f"hand shape init from {src}")
+        else:
+            log.warning(f"--shape_init {args.shape_init}: no checkpoint found")
 
     dev_mesh = make_mesh(int(args.get("num_devices", 0)))
     # commit params/opt state to the mesh up front: otherwise the first step

@@ -58,7 +58,7 @@ def load_params_subset(path: str, params: dict, predicate) -> dict:
     """Restore only entries whose key-path satisfies ``predicate`` —
     functional analog of the reference's filtered state_dict loads
     (--load_pose / --shape_init, code/train.py:60-74, hold_net.py:136-152)."""
-    restored = load_checkpoint(path, {"params": params})["params"]
+    restored = load_checkpoint(path, {"params": params, "step": 0})["params"]
 
     def merge(cur, new, path_):
         if isinstance(cur, dict):
