@@ -61,23 +61,19 @@ def _lib() -> ctypes.CDLL:
 
 def largest_component(verts: np.ndarray, faces: np.ndarray) -> Mesh:
     """Keep the connected component with the largest surface area
-    (union-find; replaces trimesh.split at meshing.py:61-70)."""
+    (replaces trimesh.split at meshing.py:61-70). scipy sparse connected
+    components — a pure-Python union-find took tens of seconds on the
+    ~200k-vertex marching-tetrahedra meshes."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
     n = verts.shape[0]
-    parent = np.arange(n)
-
-    def find(a):
-        root = a
-        while parent[root] != root:
-            root = parent[root]
-        while parent[a] != root:
-            parent[a], a = root, parent[a]
-        return root
-
-    for f in faces:
-        ra, rb, rc = find(f[0]), find(f[1]), find(f[2])
-        parent[rb] = ra
-        parent[rc] = ra
-    roots = np.array([find(i) for i in range(n)])
+    rows = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+    cols = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
+    adj = coo_matrix(
+        (np.ones(rows.shape[0], np.int8), (rows, cols)), shape=(n, n)
+    )
+    _, roots = connected_components(adj, directed=False)
 
     v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
     area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
