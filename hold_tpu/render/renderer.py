@@ -58,10 +58,16 @@ def make_chunk_renderer(scene, mesh_state, pixel_per_batch: int = 512):
 def render_frame(
     params, scene, mesh_state, frame_batch: dict,
     pixel_per_batch: int = 512,
+    chunk_fn=None,
 ) -> dict[str, np.ndarray]:
     """frame_batch from SequenceData.full_frame_batch; returns per-pixel maps
-    reshaped to (H, W, C)."""
-    chunk_fn = make_chunk_renderer(scene, mesh_state, pixel_per_batch)
+    reshaped to (H, W, C).
+
+    Pass a prebuilt ``chunk_fn`` (make_chunk_renderer) when rendering many
+    frames — otherwise each call builds fresh jit wrappers and pays a
+    retrace."""
+    if chunk_fn is None:
+        chunk_fn = make_chunk_renderer(scene, mesh_state, pixel_per_batch)
     H, W = frame_batch["img_hw"]
     uv = frame_batch["uv"]  # (1, HW, 2)
     n_pix = uv.shape[1]
