@@ -137,12 +137,32 @@ def run_training(args, cfg, seq: SequenceData | None = None,
     opt_state = tx.init(params)
     train_step = make_train_step(scene, tx)
 
+    start_step = 0
     if args.load_ckpt:
         from .utils.checkpoint import load_checkpoint
 
         state = load_checkpoint(args.load_ckpt, {"params": params, "step": 0})
         params = state["params"]
         log.info(f"loaded weights from {args.load_ckpt}")
+    else:
+        # auto-resume from this experiment's last checkpoint, the way the
+        # reference resumes via the exp-key folder (comet_utils.py:20-28 +
+        # train.py:52,75); optimizer state restores too when present
+        from .utils.checkpoint import latest_checkpoint, load_checkpoint
+
+        last = latest_checkpoint(tracker.log_dir)
+        if last:
+            try:
+                state = load_checkpoint(
+                    last, {"params": params, "opt_state": opt_state, "step": 0}
+                )
+                opt_state = state["opt_state"]
+            except Exception:
+                # older checkpoint without optimizer state
+                state = load_checkpoint(last, {"params": params, "step": 0})
+            params = state["params"]
+            start_step = int(state["step"])
+            log.info(f"resuming from {last} at step {start_step}")
     if args.load_pose:
         from .utils.checkpoint import load_params_subset
 
@@ -187,7 +207,7 @@ def run_training(args, cfg, seq: SequenceData | None = None,
     timer = StepTimer()
     t_start = time.time()
     t_window = time.time()
-    step = 0
+    step = start_step
     while step < total_steps:
         epoch = step // steps_per_epoch
         timer.start("data")
@@ -267,12 +287,15 @@ def run_training(args, cfg, seq: SequenceData | None = None,
             if ep % max(args.eval_every_epoch, 1) == 0 or step >= total_steps:
                 save_checkpoint(
                     tracker.log_dir, step,
-                    {"params": to_host(params), "step": step},
+                    {"params": to_host(params),
+                     "opt_state": to_host(opt_state), "step": step},
                 )
                 log.info(f"checkpoint at step {step}")
 
     save_checkpoint(
-        tracker.log_dir, step, {"params": to_host(params), "step": step}
+        tracker.log_dir, step,
+        {"params": to_host(params), "opt_state": to_host(opt_state),
+         "step": step},
     )
     wall = time.time() - t_start
     log.info(f"done: {step} steps in {wall:.1f}s; phases: {timer.summary()}")

@@ -36,11 +36,20 @@ def save_checkpoint(log_dir: str, step: int, state: dict, keep_last: bool = True
 
 
 def load_checkpoint(path: str, template: dict) -> dict:
+    """Restore `template`'s entries from a checkpoint; tolerates checkpoints
+    that carry extra top-level entries (e.g. optimizer state) the caller
+    didn't ask for."""
     path = os.path.abspath(path)
     if os.path.islink(path):
         path = os.path.join(os.path.dirname(path), os.readlink(path))
     c = _ckptr()
-    return c.restore(path, template)
+    try:
+        return c.restore(path, template)
+    except ValueError:
+        # checkpoint has extra top-level entries the template didn't name
+        # (this orbax lacks partial_restore): restore raw, subset by key
+        full = c.restore(path)
+        return {k: full[k] for k in template}
 
 
 def latest_checkpoint(log_dir: str) -> str | None:
