@@ -15,11 +15,16 @@ from ..models.holdnet import holdnet_forward
 
 
 def make_chunk_renderer(scene, mesh_state, pixel_per_batch: int = 512):
-    """Returns render_chunk(params, batch_chunk) -> dict of (P, C) numpy.
+    """Returns render_chunk(params, batch_chunk, mesh_state=None) -> dict of
+    (P, C) numpy.
 
     Two jitted stages (sampler / shading) for the same compiler-stability
-    reason as the train step."""
+    reason as the train step.  mesh_state is a traced argument so one
+    compiled renderer serves a whole training run even as the object's
+    canonical mesh is refreshed."""
     from ..models.holdnet import sample_all_z
+
+    default_mesh_state = mesh_state
 
     sample_fn = jax.jit(
         lambda params, batch: sample_all_z(
@@ -28,7 +33,7 @@ def make_chunk_renderer(scene, mesh_state, pixel_per_batch: int = 512):
     )
 
     @jax.jit
-    def shade_fn(params, batch, z_vals):
+    def shade_fn(params, batch, z_vals, mesh_state):
         out = holdnet_forward(
             params, scene, batch, mesh_state, None, None, None,
             training=False, z_vals_dict=z_vals,
@@ -48,9 +53,10 @@ def make_chunk_renderer(scene, mesh_state, pixel_per_batch: int = 512):
             keep[f"{nid}.normal"] = out[f"{nid}.normal"]
         return keep
 
-    def chunk_fn(params, batch):
+    def chunk_fn(params, batch, mesh_state=None):
         z_vals = sample_fn(params, batch)
-        return shade_fn(params, batch, z_vals)
+        ms = default_mesh_state if mesh_state is None else mesh_state
+        return shade_fn(params, batch, z_vals, ms)
 
     return chunk_fn
 
@@ -86,7 +92,7 @@ def render_frame(
     for s in range(0, uv_p.shape[1], pixel_per_batch):
         batch = dict(base)
         batch["uv"] = jnp.asarray(uv_p[:, s:s + pixel_per_batch])
-        res = chunk_fn(params, batch)
+        res = chunk_fn(params, batch, mesh_state)
         for k, v in res.items():
             outs.setdefault(k, []).append(np.asarray(v))
 

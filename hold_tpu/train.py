@@ -205,6 +205,7 @@ def run_training(args, cfg, seq: SequenceData | None = None,
     key = jax.random.PRNGKey(1234)
 
     timer = StepTimer()
+    val_chunk_fn = None  # built lazily, reused across validations
     t_start = time.time()
     t_window = time.time()
     step = start_step
@@ -291,6 +292,44 @@ def run_training(args, cfg, seq: SequenceData | None = None,
                      "opt_state": to_host(opt_state), "step": step},
                 )
                 log.info(f"checkpoint at step {step}")
+                if not args.no_vis:
+                    # validation render of one random frame
+                    # (hold.py:169-208 + validation_epoch_end role)
+                    timer.start("val_render")
+                    try:
+                        from .render.renderer import (
+                            make_chunk_renderer,
+                            outputs_to_panel,
+                            render_frame,
+                        )
+
+                        if val_chunk_fn is None:
+                            val_chunk_fn = make_chunk_renderer(
+                                scene, mesh_state
+                            )
+                        vidx = int(np_rng.randint(seq.n_frames))
+                        fb = seq.full_frame_batch(
+                            vidx, downsample=args.render_downsample
+                        )
+                        res = render_frame(params, scene, mesh_state, fb,
+                                           pixel_per_batch=4096,
+                                           chunk_fn=val_chunk_fn)
+                        gt = fb["gt_rgb"].reshape(*fb["img_hw"], 3)
+                        mse = float(np.mean((res["rgb"] - gt) ** 2))
+                        val_psnr = -10.0 * np.log10(max(mse, 1e-12))
+                        tracker.log_dict(
+                            {"val/psnr": val_psnr}, step=step, epoch=ep
+                        )
+                        tracker.log_image(
+                            f"val_{vidx:04d}",
+                            outputs_to_panel(res, gt_rgb=gt), step,
+                        )
+                        log.info(
+                            f"val render frame {vidx}: psnr {val_psnr:.2f}"
+                        )
+                    except Exception as e:  # vis must never kill training
+                        log.warning(f"val render failed: {e}")
+                    timer.stop("val_render")
 
     save_checkpoint(
         tracker.log_dir, step,
