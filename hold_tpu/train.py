@@ -292,7 +292,7 @@ def run_training(args, cfg, seq: SequenceData | None = None,
                      "opt_state": to_host(opt_state), "step": step},
                 )
                 log.info(f"checkpoint at step {step}")
-                if not args.no_vis:
+                if not args.get("no_vis", False):
                     # validation render of one random frame
                     # (hold.py:169-208 + validation_epoch_end role)
                     timer.start("val_render")
