@@ -15,6 +15,14 @@ import os
 def enable_compile_cache(cache_dir: str | None = None) -> None:
     import jax
 
+    # CPU executables are AOT-compiled for the *build* machine's ISA features;
+    # reusing a cache entry written on a different host can SIGILL.  The cache
+    # only pays off against the remote TPU compile service anyway, so keep the
+    # CPU backend cache-free.  (Checking the config, not the backend, avoids
+    # pinning the platform before callers get to choose it.)
+    if jax.config.jax_platforms and "cpu" in str(jax.config.jax_platforms):
+        return
+
     cache_dir = cache_dir or os.environ.get(
         "HOLD_TPU_COMPILE_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(
