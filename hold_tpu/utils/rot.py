@@ -117,3 +117,148 @@ def quat_slerp(q0: jnp.ndarray, q1: jnp.ndarray, t) -> jnp.ndarray:
     w1 = jnp.where(near, t, jnp.sin(t * theta) / jnp.maximum(sin_t, _EPS))
     q = w0 * q0 + w1 * q1
     return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
+
+
+# ---------------------------------------------------------------------------
+# Quaternion algebra (common/rot.py:31-61, 714-776)
+# ---------------------------------------------------------------------------
+
+
+def standardize_quaternion(q: jnp.ndarray) -> jnp.ndarray:
+    """Non-negative real part (common/rot.py:31-43)."""
+    return jnp.where(q[..., 0:1] < 0, -q, q)
+
+
+def quaternion_raw_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product, wxyz (common/rot.py:714-735)."""
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    ow = aw * bw - ax * bx - ay * by - az * bz
+    ox = aw * bx + ax * bw + ay * bz - az * by
+    oy = aw * by - ax * bz + ay * bw + az * bx
+    oz = aw * bz + ax * by - ay * bx + az * bw
+    return jnp.stack([ow, ox, oy, oz], axis=-1)
+
+
+def quaternion_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Composition with standardized output (common/rot.py:46-61)."""
+    return standardize_quaternion(quaternion_raw_multiply(a, b))
+
+
+def quaternion_invert(q: jnp.ndarray) -> jnp.ndarray:
+    """Conjugate of a versor (common/rot.py:736-750)."""
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+
+
+def quaternion_apply(q: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarray:
+    """Rotate 3D points by versors (common/rot.py:753-774)."""
+    real = jnp.zeros(point.shape[:-1] + (1,), dtype=point.dtype)
+    p = jnp.concatenate([real, point], axis=-1)
+    out = quaternion_raw_multiply(quaternion_raw_multiply(q, p),
+                                  quaternion_invert(q))
+    return out[..., 1:]
+
+
+# ---------------------------------------------------------------------------
+# Euler angles (common/rot.py:620-713; xyz intrinsic convention)
+# ---------------------------------------------------------------------------
+
+
+def euler_to_quaternion(r: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) euler xyz -> (..., 4) wxyz (common/rot.py:624-644)."""
+    x, y, z = r[..., 0] / 2.0, r[..., 1] / 2.0, r[..., 2] / 2.0
+    cx, sx = jnp.cos(x), jnp.sin(x)
+    cy, sy = jnp.cos(y), jnp.sin(y)
+    cz, sz = jnp.cos(z), jnp.sin(z)
+    return jnp.stack(
+        [
+            cx * cy * cz - sx * sy * sz,
+            cx * sy * sz + cy * cz * sx,
+            cx * cz * sy - sx * cy * sz,
+            cx * cy * sz + sx * cz * sy,
+        ],
+        axis=-1,
+    )
+
+
+def euler_to_matrix(r: jnp.ndarray) -> jnp.ndarray:
+    """batch_euler2matrix parity (common/rot.py:620-621)."""
+    return quaternion_to_matrix(euler_to_quaternion(r))
+
+
+def matrix_to_euler(R: jnp.ndarray) -> jnp.ndarray:
+    """Principal euler solution decomposing R = Rz(z) @ Ry(y) @ Rx(x).
+
+    Jittable re-derivation of euler_angles_from_rotmat
+    (common/rot.py:680-713, Slabaugh's ZYX decomposition): the reference
+    returns the two analytic branches (and special-cases gimbal lock with
+    python control flow); we return the principal branch (the reference's s1)
+    with a `where`-based gimbal-lock fallback so the function traces under
+    jit.
+
+    NOTE (same caveat as the reference library): this decomposes the ZYX
+    product, while euler_to_matrix/euler_to_quaternion *compose* in XYZ order
+    (R = Rx @ Ry @ Rz, common/rot.py:624-644) — the two are not inverses of
+    each other, in the reference or here.
+    """
+    r20 = jnp.clip(R[..., 2, 0], -1.0, 1.0)
+    y = -jnp.arcsin(r20)
+    cy = jnp.cos(y)
+    safe = jnp.abs(cy) > 1e-6
+    cy_s = jnp.where(safe, cy, 1.0)
+    x = jnp.arctan2(R[..., 2, 1] / cy_s, R[..., 2, 2] / cy_s)
+    z = jnp.arctan2(R[..., 1, 0] / cy_s, R[..., 0, 0] / cy_s)
+    # gimbal lock: r20 = ∓1 -> y = ±pi/2, z := 0 (reference's convention)
+    x_lock = jnp.where(
+        r20 < 0,
+        jnp.arctan2(R[..., 0, 1], R[..., 0, 2]),
+        -jnp.arctan2(-R[..., 0, 1], R[..., 0, 2]),
+    )
+    x = jnp.where(safe, x, x_lock)
+    z = jnp.where(safe, z, 0.0)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Misc (common/rot.py:11-29, 219-236, 390-412)
+# ---------------------------------------------------------------------------
+
+
+def compute_geodesic_distance(m1: jnp.ndarray, m2: jnp.ndarray) -> jnp.ndarray:
+    """Angular distance between rotation matrices in [0, pi]
+    (common/rot.py:11-29)."""
+    m = m1 @ jnp.swapaxes(m2, -1, -2)
+    cos = (m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2] - 1.0) / 2.0
+    return jnp.arccos(jnp.clip(cos, -1.0, 1.0))
+
+
+def rot_aa(aa: jnp.ndarray, rot_deg) -> jnp.ndarray:
+    """Rotate a global-orientation axis-angle by `rot_deg` degrees about +z
+    (common/rot.py:219-236, cv2.Rodrigues path expressed via the library)."""
+    t = jnp.deg2rad(jnp.asarray(-rot_deg, jnp.float32))
+    Rz = jnp.asarray(
+        [[jnp.cos(t), -jnp.sin(t), 0.0],
+         [jnp.sin(t), jnp.cos(t), 0.0],
+         [0.0, 0.0, 1.0]]
+    )
+    return matrix_to_axis_angle(Rz @ axis_angle_to_matrix(aa))
+
+
+def rot6d_to_rotmat_ref(x: jnp.ndarray) -> jnp.ndarray:
+    """Reference/SPIN column-convention 6d -> matrix (common/rot.py:390-405).
+
+    NOTE: this is a *different* convention from rotation_6d_to_matrix (the
+    pytorch3d row convention used inside hold_tpu); provided for IO parity
+    with data produced by the reference."""
+    x = x.reshape(x.shape[:-1] + (3, 2))
+    a1, a2 = x[..., 0], x[..., 1]
+    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), _EPS)
+    a2p = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = a2p / jnp.maximum(jnp.linalg.norm(a2p, axis=-1, keepdims=True), _EPS)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-1)
+
+
+def rotmat_to_rot6d_ref(R: jnp.ndarray) -> jnp.ndarray:
+    """Reference column-convention matrix -> 6d (common/rot.py:407-411)."""
+    return R[..., :, :2].reshape(R.shape[:-2] + (6,))
