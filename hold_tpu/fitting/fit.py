@@ -236,6 +236,7 @@ def run_fit(
     tol_lr: float = 1e-5,
     plateau_patience: int = 30,
     verbose: bool = False,
+    callback=None,  # fn(iter, params, loss) — e.g. diagnostics.FitRecorder
 ):
     two_hands = len(problem.hand_ids) == 2
     j2d_targets = {}
@@ -285,6 +286,8 @@ def run_fit(
         params, opt_state, loss, d = step(params, opt_state, jnp.asarray(lr))
         loss_v = float(loss)
         history.append(loss_v)
+        if callback is not None:
+            callback(i, params, loss_v)
         if not np.isfinite(loss_v):
             break
         if loss_v < best - 1e-6:

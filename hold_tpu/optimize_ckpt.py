@@ -121,12 +121,22 @@ def refine(args):
 
     # ---- stage 1: scale + shape on a linspace subsample -------------------
     print("Stage [1/2]: optimizing object scale and hand shape")
+    from .fitting.diagnostics import FitRecorder
+
+    vis_dir = os.path.join(args.exp, "fit_vis")
+    no_vis = bool(getattr(args, "no_vis", False))
     sub = np.linspace(0, n_frames - 1, min(args.batch_size, n_frames)).astype(int)
+    prob1 = make_problem(sub)
+    rec1 = None if no_vis else FitRecorder(
+        prob1, every=max(args.iters // 12, 1)
+    )
     p = build_fit_params(tables, scene.node_ids, obj_scale, sub)
     p, hist = run_fit(
-        make_problem(sub), p, freeze_scale=False, freeze_shape=False,
-        num_iterations=args.iters, verbose=True,
+        prob1, p, freeze_scale=False, freeze_shape=False,
+        num_iterations=args.iters, verbose=True, callback=rec1,
     )
+    if rec1 is not None and rec1.save(os.path.join(vis_dir, "stage1.gif")):
+        print(f"stage-1 fitting diagnostics -> {vis_dir}/stage1.gif")
     final_obj_scale = float(np.asarray(p["obj_scale"]))
     print(f"Stage [1/2] done: obj_scale {obj_scale:.4f} -> {final_obj_scale:.4f}")
     betas_new = {
@@ -142,11 +152,17 @@ def refine(args):
         new_tables[nid]["betas"] = b
     for start in range(0, n_frames, args.batch_size):
         idx = np.arange(start, min(start + args.batch_size, n_frames))
+        prob2 = make_problem(idx)
+        rec2 = None if no_vis else FitRecorder(
+            prob2, every=max(args.iters // 6, 1)
+        )
         p = build_fit_params(new_tables, scene.node_ids, final_obj_scale, idx)
         p, hist = run_fit(
-            make_problem(idx), p, freeze_scale=True, freeze_shape=True,
-            num_iterations=args.iters,
+            prob2, p, freeze_scale=True, freeze_shape=True,
+            num_iterations=args.iters, callback=rec2,
         )
+        if rec2 is not None:
+            rec2.save(os.path.join(vis_dir, f"stage2_{idx[0]:04d}.gif"))
         for nid in scene.node_ids:
             for k in ("transl", "global_orient"):
                 if k in p[nid]:
@@ -178,6 +194,8 @@ def main():
     ap.add_argument("--iters", type=int, default=500)
     ap.add_argument("--target_dim", type=int, default=300)
     ap.add_argument("--inspect_idx", type=int, default=None)
+    ap.add_argument("--no_vis", action="store_true",
+                    help="skip fitting-diagnostic GIFs (fit_vis/)")
     args = ap.parse_args()
     refine(args)
 

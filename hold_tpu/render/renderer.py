@@ -14,14 +14,20 @@ import numpy as np
 from ..models.holdnet import holdnet_forward
 
 
-def make_chunk_renderer(scene, mesh_state, pixel_per_batch: int = 512):
+def make_chunk_renderer(scene, mesh_state, pixel_per_batch: int = 512,
+                        mesh=None):
     """Returns render_chunk(params, batch_chunk, mesh_state=None) -> dict of
     (P, C) numpy.
 
     Two jitted stages (sampler / shading) for the same compiler-stability
     reason as the train step.  mesh_state is a traced argument so one
     compiled renderer serves a whole training run even as the object's
-    canonical mesh is refreshed."""
+    canonical mesh is refreshed.
+
+    Pass a device ``mesh`` to run each chunk SPMD over its pixel axis —
+    GSPMD propagates the sharding through the sampler and shader so
+    full-frame renders scale with devices (the train step's ray sharding,
+    applied to inference)."""
     from ..models.holdnet import sample_all_z
 
     default_mesh_state = mesh_state
@@ -54,6 +60,10 @@ def make_chunk_renderer(scene, mesh_state, pixel_per_batch: int = 512):
         return keep
 
     def chunk_fn(params, batch, mesh_state=None):
+        if mesh is not None:
+            from ..parallel.sharding import shard_render_chunk
+
+            batch = shard_render_chunk(batch, mesh)
         z_vals = sample_fn(params, batch)
         ms = default_mesh_state if mesh_state is None else mesh_state
         return shade_fn(params, batch, z_vals, ms)
@@ -65,15 +75,27 @@ def render_frame(
     params, scene, mesh_state, frame_batch: dict,
     pixel_per_batch: int = 512,
     chunk_fn=None,
+    mesh=None,
 ) -> dict[str, np.ndarray]:
     """frame_batch from SequenceData.full_frame_batch; returns per-pixel maps
     reshaped to (H, W, C).
 
     Pass a prebuilt ``chunk_fn`` (make_chunk_renderer) when rendering many
     frames — otherwise each call builds fresh jit wrappers and pays a
-    retrace."""
+    retrace.  With a device ``mesh``, chunks run SPMD over the pixel axis
+    (params/mesh_state are committed replicated up front)."""
+    if mesh is not None:
+        from ..parallel.sharding import replicated
+
+        assert pixel_per_batch % mesh.devices.size == 0, (
+            f"pixel_per_batch {pixel_per_batch} must divide the "
+            f"{mesh.devices.size}-device mesh"
+        )
+        params = jax.device_put(params, replicated(mesh))
+        mesh_state = jax.device_put(mesh_state, replicated(mesh))
     if chunk_fn is None:
-        chunk_fn = make_chunk_renderer(scene, mesh_state, pixel_per_batch)
+        chunk_fn = make_chunk_renderer(scene, mesh_state, pixel_per_batch,
+                                       mesh=mesh)
     H, W = frame_batch["img_hw"]
     uv = frame_batch["uv"]  # (1, HW, 2)
     n_pix = uv.shape[1]

@@ -50,14 +50,19 @@ def main():
     frames = test_frame_split(seq.n_frames, args.num_agents, args.agent_id)
     from PIL import Image
 
+    from .parallel.sharding import make_mesh
     from .render.renderer import make_chunk_renderer
 
-    chunk_fn = make_chunk_renderer(scene, mesh_state, args.pixel_per_batch)
+    dev_mesh = make_mesh(0)
+    # chunk size must divide the mesh; round up so every device gets pixels
+    ppb = args.pixel_per_batch
+    ppb += (-ppb) % dev_mesh.devices.size
+    chunk_fn = make_chunk_renderer(scene, mesh_state, ppb, mesh=dev_mesh)
     for idx in frames:
         fb = seq.full_frame_batch(idx, downsample=args.render_downsample)
         res = render_frame(params, scene, mesh_state, fb,
-                           pixel_per_batch=args.pixel_per_batch,
-                           chunk_fn=chunk_fn)
+                           pixel_per_batch=ppb,
+                           chunk_fn=chunk_fn, mesh=dev_mesh)
         H, W = fb["img_hw"]
         gt = fb["gt_rgb"].reshape(H, W, 3)
         panel = outputs_to_panel(res, gt_rgb=gt)

@@ -206,15 +206,82 @@ def run_training(args, cfg, seq: SequenceData | None = None,
 
     timer = StepTimer()
     val_chunk_fn = None  # built lazily, reused across validations
+
+    # -- asynchronous canonical meshing -------------------------------------
+    # mesh_all_cano is mostly host work (MISE octree + marching tetrahedra in
+    # C++) plus small jitted SDF grid queries; running it on a worker thread
+    # overlaps it with training instead of stalling the step loop ~10s every
+    # 3 epochs.  The fresh object mesh_state swaps in at the next step
+    # boundary after the thread finishes (same cadence role as
+    # hold.py:139-149, minus the stall).  fast_dev_run stays synchronous so
+    # smoke tests see mesh artifacts the moment run_training returns.
+    from concurrent.futures import ThreadPoolExecutor
+
+    mesher = ThreadPoolExecutor(max_workers=1)
+    mesh_future = None
+    sync_meshing = bool(args.fast_dev_run)
+
+    def run_meshing(host_params, at_step):
+        res_scale = 4 if args.fast_dev_run else 1
+        meshes = mesh_all_cano(host_params, scene, res_scale=res_scale)
+        for nid, m in meshes.items():
+            out_p = os.path.join(
+                tracker.log_dir, "mesh_cano",
+                f"mesh_cano_{nid}_step_{at_step}.obj",
+            )
+            os.makedirs(os.path.dirname(out_p), exist_ok=True)
+            m.export(out_p)
+            log.info(f"exported canonical mesh {out_p} "
+                     f"({m.vertices.shape[0]} verts)")
+        misc = {
+            "K": seq.intrinsics_all[0],
+            "w2c": np.linalg.inv(seq.extrinsics_all[0]),
+            "scale": seq.scale,
+            "img_paths": seq.img_paths,
+            "object.obj_scale": float(
+                np.asarray(host_params["object"]["obj_scale"])
+            ) if "object" in host_params else 1.0,
+            "meshes_cano": {
+                nid: {"vertices": m.vertices, "faces": m.faces}
+                for nid, m in meshes.items()
+            },
+        }
+        save_misc(tracker.log_dir, at_step, misc)
+        return meshes
+
+    def adopt_meshes(meshes):
+        if "object" in meshes:
+            return jax.device_put(
+                object_mesh_state_from_mesh(
+                    meshes["object"].vertices, meshes["object"].faces
+                ),
+                replicated(dev_mesh),
+            )
+        return None
+
+    # host-side prefetch: the numpy pixel sampler runs one step ahead on a
+    # worker thread so the device never waits on host data (double buffering;
+    # the async dispatch of the previous device step overlaps the next
+    # sample).  np_rng is owned by the prefetch thread; validation uses its
+    # own rng stream so frame picks don't race the sampler.
+    data_pool = ThreadPoolExecutor(max_workers=1)
+    val_rng = np.random.RandomState(int(args.get("seed", 0)) + 7919)
+
+    def sample_next():
+        return seq.sample_tempo_batch(
+            np_rng, batch_size, offset=args.offset, num_sample=args.num_sample
+        )
+
+    next_batch = data_pool.submit(sample_next)
+
     t_start = time.time()
     t_window = time.time()
     step = start_step
     while step < total_steps:
         epoch = step // steps_per_epoch
         timer.start("data")
-        batch_np = seq.sample_tempo_batch(
-            np_rng, batch_size, offset=args.offset, num_sample=args.num_sample
-        )
+        batch_np = next_batch.result()
+        next_batch = data_pool.submit(sample_next)
         with dev_mesh:
             batch = shard_batch(batch_np, dev_mesh)
         timer.stop("data")
@@ -244,6 +311,19 @@ def run_training(args, cfg, seq: SequenceData | None = None,
             timer.stop("step")
 
         step += 1
+        # collect a finished background meshing run: swap in the new object
+        # mesh state at this step boundary
+        if mesh_future is not None and mesh_future.done():
+            timer.start("meshing")
+            try:
+                ms = adopt_meshes(mesh_future.result())
+                if ms is not None:
+                    mesh_state = ms
+            except Exception as e:  # meshing must never kill training
+                log.warning(f"async meshing failed: {e}")
+            mesh_future = None
+            timer.stop("meshing")
+
         # epoch boundary: meshing + checkpoints (hold.py:139-166 cadence)
         if step % steps_per_epoch == 0:
             ep = step // steps_per_epoch
@@ -251,39 +331,18 @@ def run_training(args, cfg, seq: SequenceData | None = None,
                 args.fast_dev_run and not args.no_meshing
             ):
                 timer.start("meshing")
-                host_params = to_host(params)
-                res_scale = 4 if args.fast_dev_run else 1
-                meshes = mesh_all_cano(host_params, scene, res_scale=res_scale)
-                for nid, m in meshes.items():
-                    out_p = os.path.join(
-                        tracker.log_dir, "mesh_cano",
-                        f"mesh_cano_{nid}_step_{step}.obj",
-                    )
-                    os.makedirs(os.path.dirname(out_p), exist_ok=True)
-                    m.export(out_p)
-                    log.info(f"exported canonical mesh {out_p} "
-                             f"({m.vertices.shape[0]} verts)")
-                if "object" in meshes:
-                    mesh_state = jax.device_put(
-                        object_mesh_state_from_mesh(
-                            meshes["object"].vertices, meshes["object"].faces
-                        ),
-                        replicated(dev_mesh),
-                    )
-                misc = {
-                    "K": seq.intrinsics_all[0],
-                    "w2c": np.linalg.inv(seq.extrinsics_all[0]),
-                    "scale": seq.scale,
-                    "img_paths": seq.img_paths,
-                    "object.obj_scale": float(
-                        np.asarray(params["object"]["obj_scale"])
-                    ),
-                    "meshes_cano": {
-                        nid: {"vertices": m.vertices, "faces": m.faces}
-                        for nid, m in meshes.items()
-                    },
-                }
-                save_misc(tracker.log_dir, step, misc)
+                host_params = to_host(params)  # sync snapshot, ~ms
+                if sync_meshing:
+                    try:
+                        ms = adopt_meshes(run_meshing(host_params, step))
+                        if ms is not None:
+                            mesh_state = ms
+                    except Exception as e:
+                        log.warning(f"meshing failed: {e}")
+                elif mesh_future is None:
+                    mesh_future = mesher.submit(run_meshing, host_params, step)
+                else:
+                    log.info("meshing still running; skipping this cadence")
                 timer.stop("meshing")
             if ep % max(args.eval_every_epoch, 1) == 0 or step >= total_steps:
                 save_checkpoint(
@@ -305,15 +364,16 @@ def run_training(args, cfg, seq: SequenceData | None = None,
 
                         if val_chunk_fn is None:
                             val_chunk_fn = make_chunk_renderer(
-                                scene, mesh_state
+                                scene, mesh_state, mesh=dev_mesh
                             )
-                        vidx = int(np_rng.randint(seq.n_frames))
+                        vidx = int(val_rng.randint(seq.n_frames))
                         fb = seq.full_frame_batch(
                             vidx, downsample=args.render_downsample
                         )
                         res = render_frame(params, scene, mesh_state, fb,
                                            pixel_per_batch=4096,
-                                           chunk_fn=val_chunk_fn)
+                                           chunk_fn=val_chunk_fn,
+                                           mesh=dev_mesh)
                         gt = fb["gt_rgb"].reshape(*fb["img_hw"], 3)
                         mse = float(np.mean((res["rgb"] - gt) ** 2))
                         val_psnr = -10.0 * np.log10(max(mse, 1e-12))
@@ -331,6 +391,17 @@ def run_training(args, cfg, seq: SequenceData | None = None,
                         log.warning(f"val render failed: {e}")
                     timer.stop("val_render")
 
+    # flush any in-flight meshing so artifacts exist when we return
+    if mesh_future is not None:
+        try:
+            ms = adopt_meshes(mesh_future.result())
+            if ms is not None:
+                mesh_state = ms
+        except Exception as e:
+            log.warning(f"async meshing failed: {e}")
+    mesher.shutdown(wait=True)
+    data_pool.shutdown(wait=False, cancel_futures=True)
+
     save_checkpoint(
         tracker.log_dir, step,
         {"params": to_host(params), "opt_state": to_host(opt_state),
@@ -343,6 +414,10 @@ def run_training(args, cfg, seq: SequenceData | None = None,
 
 def main():
     args, cfg = parse_args()
+    if args.get("coordinator"):
+        from .parallel.sharding import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
     run_training(args, cfg)
 
 

@@ -165,6 +165,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=0, help="0 = all local devices")
     p.add_argument("--data_root", type=str, default="./data")
     p.add_argument("--log_root", type=str, default="./logs")
+    p.add_argument("--remote_track", type=str, default="",
+                   help="remote tracker sink: jsonl:<path> or http(s)://url "
+                        "(comet_utils streaming role; also HOLD_TPU_REMOTE)")
+    p.add_argument("--coordinator", type=str, default="",
+                   help="multi-host: coordinator address host:port "
+                        "(jax.distributed); empty = single host")
+    p.add_argument("--num_processes", type=int, default=0)
+    p.add_argument("--process_id", type=int, default=-1)
     return p
 
 

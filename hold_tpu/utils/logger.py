@@ -45,11 +45,18 @@ class Tracker:
     """Minimal scalar/image tracker with a stable on-disk layout."""
 
     def __init__(self, log_root: str, exp_key: str = "", args: dict | None = None,
-                 mute: bool = False):
+                 mute: bool = False, remote: str | None = None):
         self.exp_key = exp_key or make_exp_key()
         self.log_dir = os.path.join(log_root, self.exp_key)
         self.mute = mute
-        self.remote = None  # pluggable remote tracker
+        # pluggable remote sink (comet_utils.py:64-172 streaming role); spec
+        # from the remote= arg, --remote_track, or HOLD_TPU_REMOTE env
+        from .remote import remote_from_spec
+
+        spec = remote
+        if spec is None and args is not None:
+            spec = dict(args).get("remote_track")
+        self.remote = remote_from_spec(spec)
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(os.path.join(self.log_dir, "visuals"), exist_ok=True)
         self._scalars = open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
@@ -89,10 +96,14 @@ class Tracker:
             arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
         out_p = os.path.join(self.log_dir, "visuals", f"{name}_{step:09d}.png")
         Image.fromarray(arr).save(out_p)
+        if self.remote is not None and not self.mute:
+            self.remote.log_image(name, out_p, step=step)
         return out_p
 
     def close(self) -> None:
         self._scalars.close()
+        if self.remote is not None:
+            self.remote.close()
 
 
 class StepTimer:

@@ -63,6 +63,9 @@ def main():
     ap.add_argument("--out", default="")
     ap.add_argument("--fps", type=int, default=10)
     ap.add_argument("--headless", action="store_true", default=True)
+    ap.add_argument("--no_html", action="store_true",
+                    help="skip the interactive HTML viewer export")
+    ap.add_argument("--html_max_frames", type=int, default=120)
     args = ap.parse_args()
 
     seq = SequenceData(args.case, args.data_root)
@@ -110,9 +113,11 @@ def main():
         os.path.join(out_dir, "overlay.mp4"),
         cv2.VideoWriter_fourcc(*"mp4v"), args.fps, (W, H),
     )
+    images = []
     for i in range(n):
         img, _ = seq.load_frame(i)
-        frame = (img * 255).astype(np.uint8)
+        images.append((img * 255).astype(np.uint8))
+        frame = images[-1].copy()
         w2c = w2c_all[i]
         for nid, (verts_all, faces) in meshes.items():
             v_cam = verts_all[i] @ w2c[:3, :3].T + w2c[:3, 3]
@@ -121,6 +126,22 @@ def main():
         video.write(frame[:, :, ::-1])
     video.release()
     print(f"wrote {n} overlay frames + overlay.mp4 to {out_dir}")
+
+    if not args.no_html:
+        # interactive substitute for the aitviewer scene (viewer.py:42-301):
+        # orbit-able posed meshes + camera path + billboarded source video,
+        # one self-contained file
+        from .render.html_viewer import export_html_viewer, pack_scene
+
+        blob = pack_scene(
+            meshes, w2c_all, K, seq.img_size, images=images,
+            max_frames=args.html_max_frames,
+        )
+        p = export_html_viewer(
+            os.path.join(out_dir, "viewer.html"), blob,
+            title=f"hold_tpu {args.case}",
+        )
+        print(f"wrote interactive viewer {p}")
 
 
 if __name__ == "__main__":

@@ -98,6 +98,23 @@ def test_full_frame_render(trained, toy_seq):
     assert panel.shape[0] == H and panel.shape[1] == W * 4
 
 
+def test_full_frame_render_sharded(trained, toy_seq):
+    """Mesh-sharded render must match the single-device render exactly —
+    the pixel axis is data-parallel, so GSPMD may not change the math."""
+    from hold_tpu.parallel.sharding import make_mesh
+    from hold_tpu.render.renderer import render_frame
+
+    params, scene, mesh_state, tracker = trained
+    fb = toy_seq.full_frame_batch(0, downsample=6)
+    res1 = render_frame(params, scene, mesh_state, fb, pixel_per_batch=128)
+    mesh = make_mesh(0)
+    res8 = render_frame(params, scene, mesh_state, fb, pixel_per_batch=128,
+                        mesh=mesh)
+    assert mesh.devices.size == 8
+    np.testing.assert_allclose(res8["rgb"], res1["rgb"], atol=2e-5)
+    np.testing.assert_allclose(res8["depth"], res1["depth"], atol=2e-4)
+
+
 def test_dataset_weighted_sampling(toy_seq):
     rng = np.random.RandomState(0)
     batch = toy_seq.sample_tempo_batch(rng, batch_size=2, num_sample=16)

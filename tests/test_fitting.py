@@ -86,6 +86,44 @@ def _make_problem(transl_offset):
     return prob, init_params, tables["object"]["transl"]
 
 
+def test_fit_diagnostics_recorder(tmp_path):
+    """FitRecorder snapshots panels during run_fit and writes a GIF
+    (fitting/model.py:186-206 diagnostics role)."""
+    from hold_tpu.fitting.diagnostics import FitRecorder, fit_preview
+
+    prob, params, _ = _make_problem(np.array([0.01, 0.0, 0.0]))
+    panel = fit_preview(prob, params, frame=0)
+    H, W = prob.imsize
+    assert panel.shape == (H, W * 3, 3)
+    assert panel.min() >= 0.0 and panel.max() <= 1.0
+    assert panel.max() > 0.1  # silhouettes actually rendered
+
+    rec = FitRecorder(prob, every=3)
+    run_fit(prob, params, freeze_scale=True, freeze_shape=True,
+            num_iterations=7, lr0=5e-3, callback=rec)
+    assert len(rec.frames) == 3  # iters 0, 3, 6
+    p = rec.save(str(tmp_path / "fit.gif"))
+    assert p and (tmp_path / "fit.gif").stat().st_size > 100
+
+
+def test_alignment_preview():
+    from hold_tpu.fitting.diagnostics import alignment_preview
+    from hold_tpu.generator.align import AlignmentProblem, project
+    from tests.test_generator import _gt_hand_sequence
+
+    srv, poses, transl, verts, joints = _gt_hand_sequence(F=2)
+    K = np.array([[100.0, 0, 40], [0, 100.0, 30], [0, 0, 1]], np.float32)
+    j2d = np.asarray(project(jnp.asarray(K),
+                             jnp.asarray(joints + np.array([0, 0, 0.5]))))
+    prob = AlignmentProblem({"right": j2d}, None,
+                            0.05 * np.random.RandomState(0).randn(20, 3),
+                            K, hands=("right",))
+    p = prob.init_params(2)
+    img = alignment_preview(prob, p, max_frames=2)
+    assert img.shape == (60, 80 * 2, 3)
+    assert np.isfinite(img).all()
+
+
 def test_fitting_recovers_object_translation():
     # offset along x only: perpendicular to the hand-contact direction (y)
     # and depth (z), which are both ambiguous/biased by the contact prior
