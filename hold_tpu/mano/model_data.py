@@ -61,14 +61,20 @@ def load_mano_pkl(path: str, is_rhand: bool) -> ManoModelData:
         d = pickle.load(f, encoding="latin1")
     posedirs = _np(d["posedirs"])  # (778, 3, 135)
     posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T  # (135, 778*3)
+    if "kintree_table" in d:
+        # the official pkl stores the root parent as uint32 0xFFFFFFFF (-1
+        # wrapped); astype(int64) keeps the huge positive value, so pin the
+        # root explicitly like smplx does (smplx/body_models.py kintree fix)
+        parents = np.asarray(d["kintree_table"])[0].astype(np.int64).copy()
+        parents[0] = -1
+    else:
+        parents = PARENTS
     return ManoModelData(
         v_template=_np(d["v_template"]).astype(np.float32),
         shapedirs=_np(d["shapedirs"])[:, :, :NUM_BETAS].astype(np.float32),
         posedirs=posedirs.astype(np.float32),
         J_regressor=_np(d["J_regressor"]).astype(np.float32),
-        parents=np.asarray(d["kintree_table"])[0].astype(np.int64).clip(min=-1)
-        if "kintree_table" in d
-        else PARENTS,
+        parents=parents,
         lbs_weights=_np(d["weights"]).astype(np.float32),
         hands_mean=_np(d["hands_mean"]).astype(np.float32),
         faces=np.asarray(d["f"], dtype=np.int64),

@@ -53,6 +53,31 @@ def _apply_linear(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
     return x @ w.T + layer["b"]
 
 
+def resolve_weight_norm(net_params: dict) -> dict:
+    """Materialize weight-normed layers to plain {'w','b'} ONCE.
+
+    _apply_linear renormalizes (g, v) on every call; under chunked shading
+    that recompute lands in every chunk of every forward/remat/backward pass
+    — traced at hundreds of ~0.1 ms (256,256) reduce fusions per train step.
+    Resolving before the chunk loop computes the normalization (and its
+    gradient) once per step.  Gradients w.r.t. (g, v) are unchanged — the
+    chain rule just runs through one resolve instead of N copies."""
+
+    def conv(layer):
+        if "v" in layer:
+            v, g = layer["v"], layer["g"]
+            return {"w": g * v / jnp.linalg.norm(v, axis=1, keepdims=True),
+                    "b": layer["b"]}
+        return layer
+
+    out = dict(net_params)
+    if "layers" in out:
+        out["layers"] = [conv(l) for l in out["layers"]]
+    if "lin_pose" in out:
+        out["lin_pose"] = conv(out["lin_pose"])
+    return out
+
+
 def softplus100(x: jnp.ndarray) -> jnp.ndarray:
     """Softplus with beta=100, in the split max/log1p form.
 

@@ -34,6 +34,7 @@ from .mlp import (
     apply_rendering_net,
     implicit_feat_from_trunk,
     implicit_sdf_from_trunk,
+    resolve_weight_norm,
 )
 from .object_model import ObjectServerState, object_deform, object_server_forward
 from .specs import CLASS_IDS, MAX_CLASS
@@ -106,6 +107,10 @@ def mano_node_forward(
     stop-gradient), which keeps each compiled graph small enough for the TPU
     compiler."""
     B, P = batch["uv"].shape[:2]
+    # weight-norm resolved once, outside the chunk loop (see resolve_weight_norm)
+    nparams = dict(nparams)
+    nparams["implicit"] = resolve_weight_norm(nparams["implicit"])
+    nparams["rendering"] = resolve_weight_norm(nparams["rendering"])
     frame_idx = batch["frame_idx"]
     pose = gather_mano_pose(nparams["tables"], frame_idx)
     full_pose = jnp.concatenate([pose["global_orient"], pose["pose"]], axis=-1)
@@ -256,6 +261,9 @@ def object_node_forward(
     z_vals: jnp.ndarray | None = None,
 ):
     B, P = batch["uv"].shape[:2]
+    nparams = dict(nparams)
+    nparams["implicit"] = resolve_weight_norm(nparams["implicit"])
+    nparams["rendering"] = resolve_weight_norm(nparams["rendering"])
     frame_idx = batch["frame_idx"]
     pose = gather_object_pose(nparams["tables"], frame_idx)
     scene_scale = batch["scene_scale"]
@@ -380,7 +388,7 @@ def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
         server.skin_weights_c, (B,) + server.skin_weights_c.shape[1:]
     )
 
-    implicit_bf16 = _bf16_tree(nparams["implicit"])
+    implicit_bf16 = _bf16_tree(resolve_weight_norm(nparams["implicit"]))
 
     def sampler_sdf(pts_RS3):
         S = pts_RS3.shape[1]
@@ -390,12 +398,16 @@ def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
         )
         x_c = skinning(pts, w, tfs, inverse=True)
         cond = _flat_per_point(cond_pose, P * S).astype(jnp.bfloat16)
-        out = apply_implicit_net(
+        # trunk + width-1 SDF head: the sampler never needs the 256-wide
+        # feature head, and slicing it off explicitly keeps the (N, 257)
+        # output from ever materializing
+        h = apply_implicit_trunk(
             implicit_bf16, plans.implicit,
             x_c.reshape(-1, 3).astype(jnp.bfloat16), cond,
             step=step, barf_cfg=plans.barf_cfg,
         )
-        return out[:, 0].astype(jnp.float32).reshape(B * P, S)
+        out = implicit_sdf_from_trunk(implicit_bf16, h)
+        return out.astype(jnp.float32).reshape(B * P, S)
 
     beta0 = jax.lax.stop_gradient(laplace_beta(nparams["density"]))
     return error_bound_z_vals(
@@ -413,19 +425,20 @@ def object_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
         pose["global_orient"], obj_scale=nparams.get("obj_scale"),
     )
     tfs = srv_out.obj_tfs
-    implicit_bf16 = _bf16_tree(nparams["implicit"])
+    implicit_bf16 = _bf16_tree(resolve_weight_norm(nparams["implicit"]))
 
     def sampler_sdf(pts_RS3):
         S = pts_RS3.shape[1]
         pts = pts_RS3.reshape(B, P * S, 3)
         x_c = object_deform(pts, tfs, inverse=True)
         cond = jnp.zeros((B * P * S, 0), jnp.bfloat16)
-        out = apply_implicit_net(
+        h = apply_implicit_trunk(
             implicit_bf16, plans.implicit,
             x_c.reshape(-1, 3).astype(jnp.bfloat16), cond,
             step=step, barf_cfg=plans.barf_cfg,
         )
-        return out[:, 0].astype(jnp.float32).reshape(B * P, S)
+        out = implicit_sdf_from_trunk(implicit_bf16, h)
+        return out.astype(jnp.float32).reshape(B * P, S)
 
     beta0 = jax.lax.stop_gradient(laplace_beta(nparams["density"]))
     return error_bound_z_vals(

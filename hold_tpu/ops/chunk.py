@@ -12,18 +12,25 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-DEFAULT_CHUNK = 16384
+DEFAULT_CHUNK = 32768  # < the ~2e5-point transposed-fusion crash threshold
 
 
 def map_chunked(body, args: tuple, n: int, chunk: int = DEFAULT_CHUNK,
-                remat: bool = False):
+                remat: bool = False, unroll: bool = True):
     """Apply ``body(*chunk_args) -> pytree of (C, ...)`` over a flat axis.
 
     args: tuple of arrays with leading dim n.  Returns outputs with leading
     dim n.  If n <= chunk the body is called directly (no scan).
     remat=True rematerialises the body in the backward pass (stores only
     chunk inputs + values tagged jax.ad_checkpoint.checkpoint_name) — trades
-    recompute for ~8x lower HBM residency of the MLP activations."""
+    recompute for ~8x lower HBM residency of the MLP activations.
+
+    unroll=True emits the chunks as straight-line HLO instead of a lax.map:
+    measured on-chip, GEMM chains inside a scan body run ~3x slower than the
+    identical unrolled code (the scan's traced index defeats XLA's
+    scheduling; see ray_sampler.upsample_round).  Each chunk keeps its own
+    jax.checkpoint boundary, so backward fusions stay chunk-sized — the
+    fusion-pass size limit that motivated chunking is still respected."""
     if remat:
         body = jax.checkpoint(
             body,
@@ -38,6 +45,17 @@ def map_chunked(body, args: tuple, n: int, chunk: int = DEFAULT_CHUNK,
         if pad else a
         for a in args
     )
+    if unroll:
+        n_chunks = padded[0].shape[0] // chunk
+        outs = [
+            body(*(a[i * chunk:(i + 1) * chunk] for a in padded))
+            for i in range(n_chunks)
+        ]
+        out = jax.tree_util.tree_map(
+            lambda *os: jnp.concatenate(os, axis=0), *outs
+        )
+        return jax.tree_util.tree_map(lambda o: o[:n], out)
+
     stacked = tuple(a.reshape((-1, chunk) + a.shape[1:]) for a in padded)
     out = jax.lax.map(lambda xs: body(*xs), stacked)
     return jax.tree_util.tree_map(

@@ -108,6 +108,11 @@ def background_forward(
     step=None,
 ) -> dict:
     R, S = z_vals_bg.shape
+    from ..models.mlp import resolve_weight_norm
+
+    params = dict(params)
+    params["implicit"] = resolve_weight_norm(params["implicit"])
+    params["rendering"] = resolve_weight_norm(params["rendering"])
     latent = params["frame_latent"][frame_idx]  # (R, D)
 
     z_flip = jnp.flip(z_vals_bg, axis=-1)  # 1 -> 0

@@ -74,26 +74,27 @@ def _laplace_density_beta(sdf: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
     return alpha * (0.5 + 0.5 * jnp.sign(sdf) * jnp.expm1(-jnp.abs(sdf) / beta))
 
 
-def _error_bound(beta0, beta, sdf, z_vals, dists, d_star, valid=None):
+def _cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Prefix sum along the last axis.
+
+    Measured on-chip: jnp.cumsum (reduce-window lowering) beats
+    lax.associative_scan here — the log-depth scan's pad/slice steps
+    materialize between fusions and cost ~1.4x the whole sampler."""
+    return jnp.cumsum(x, axis=-1)
+
+
+def _error_bound(beta0, beta, sdf, z_vals, dists, d_star):
     """Per-ray max opacity error bound (ray_sampler.py:354-366).
 
-    beta: (R, 1); sdf/z_vals: (R, S); dists/d_star: (R, S-1).
-    `valid` (broadcastable to dists) masks out intervals that touch padded
-    table slots — without it the phantom far-to-padding interval dominates
-    the max and the bisection never converges."""
+    beta: (R, 1); sdf/z_vals: (R, S); dists/d_star: (R, S-1)."""
     density = _laplace_density_beta(sdf, beta)
     err_per_sec = jnp.exp(-d_star / beta) * (dists**2) / (4.0 * beta**2)
-    if valid is not None:
-        dists = jnp.where(valid, dists, 0.0)
-        err_per_sec = jnp.where(valid, err_per_sec, 0.0)
     shifted = jnp.concatenate(
         [jnp.zeros_like(dists[:, :1]), dists * density[:, :-1]], axis=-1
     )
-    integral = jnp.cumsum(shifted, axis=-1)
-    err_int = jnp.cumsum(err_per_sec, axis=-1)
+    integral = _cumsum(shifted)
+    err_int = _cumsum(err_per_sec)
     bound = (jnp.clip(jnp.exp(err_int), max=1e6) - 1.0) * jnp.exp(-integral[:, :-1])
-    if valid is not None:
-        bound = jnp.where(valid, bound, 0.0)
     return jnp.max(bound, axis=-1)
 
 
@@ -120,15 +121,19 @@ def sample_pdf(
 ) -> jnp.ndarray:
     """Inverse-transform sampling (ray_sampler.py:281-307).
 
-    TPU notes: searchsorted uses method="sort" (~4x over the vmapped binary
-    search), and the four value lookups run as ONE one-hot batched matmul —
-    the iota-compare producer fuses into the MXU tiles, while explicit
-    take_along_axis gathers cost ~2.5ms each at production shapes."""
+    TPU notes: the bin index is a compare-and-count over the cdf — identical
+    to searchsorted(side="right") on a sorted array, but it compiles to one
+    fused compare+reduce instead of the sort+SCATTER that searchsorted
+    lowers to (traced at ~4ms per call at production widths,
+    scripts/xplane_ops.py).  The four value lookups run as ONE one-hot
+    batched matmul — the iota-compare producer fuses into the MXU tiles,
+    while explicit take_along_axis gathers cost ~2.5ms each."""
     cdf0 = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)
     W = cdf0.shape[-1]  # == bins.shape[-1] in every call site (M bins, M-1 pdf)
-    inds = jax.vmap(
-        lambda c, uu: jnp.searchsorted(c, uu, side="right", method="sort")
-    )(cdf0, u)
+    # searchsorted(cdf0, u, side="right") == #{w : cdf0[w] <= u}
+    inds = jnp.sum(
+        (cdf0[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
+    )
     above = jnp.minimum(inds, W - 1)
 
     # value table indexed by `above`: columns are
@@ -154,9 +159,6 @@ def sample_pdf(
     return bins_g0 + t * (bins_g1 - bins_g0)
 
 
-_PAD_Z = 1e9  # padding depths sort to the end of the table
-
-
 def error_bound_z_vals(
     rng: jax.Array | None,
     sdf_fn: Callable[[jnp.ndarray], jnp.ndarray],  # (R, S, 3) -> (R, S) sdf
@@ -168,15 +170,17 @@ def error_bound_z_vals(
 ) -> jnp.ndarray:
     """Final z values per ray: (R, N_samples + 2 + N_samples_extra).
 
-    TPU-first structure: instead of the reference's Python loop with a table
-    that grows by N_samples_eval per round (which instantiates the SDF query
-    graph once *per round* and ballooned the HLO enough to crash the TPU
-    fusion pass), the refinement runs as one `lax.scan` over a fixed-size
-    padded table of N_samples_eval * max_total_iters entries.  Padded slots
-    sit at z=1e9 with sdf=1e5 (zero density, zero error contribution) and are
-    masked out of the upsampling pdf, so per-ray sampling semantics match the
-    growing-table formulation exactly; after the last round every slot is
-    real."""
+    Structure: an UNROLLED refinement loop over tables that grow by
+    N_samples_eval per round — static shapes per round (128, 256, ...), so
+    XLA compiles each round's ops at its true size.  This repo first shipped
+    a lax.scan over a fixed padded table (padding masked out of the pdf);
+    on-chip ablation (scripts/microbench_sampler2.py) showed every round
+    paying full-width table ops — the padded form ran the object sampler at
+    ~45 ms vs ~7 ms/round at true widths — and the original motivation for
+    the scan (per-round query graphs ballooning HLO) does not apply at
+    max_total_iters=5 of straight-line code.  Per-ray sampling semantics are
+    identical to the reference's growing-table loop (ray_sampler.py:120-200);
+    golden parity is asserted by tests/test_sampler_parity.py."""
     R = ray_dirs.shape[0]
     keys = (
         jax.random.split(rng, 4) if rng is not None else [None] * 4
@@ -197,14 +201,8 @@ def error_bound_z_vals(
         return jax.lax.stop_gradient(sdf_fn(pts))
 
     Ne = cfg.N_samples_eval
-    M = Ne * cfg.max_total_iters
-    pad_z = _PAD_Z + jnp.arange(M - Ne, dtype=jnp.float32)
-    z_buf = jnp.concatenate(
-        [z0, jnp.broadcast_to(pad_z[None], (R, M - Ne))], axis=-1
-    )
-    sdf_buf = jnp.concatenate(
-        [query(z0), jnp.full((R, M - Ne), 1e5)], axis=-1
-    )
+    z_vals = z0
+    sdf = query(z0)
 
     # beta upper bound (Lemma 2) from the initial uniform spacing
     dists0 = z0[:, 1:] - z0[:, :-1]
@@ -214,17 +212,15 @@ def error_bound_z_vals(
     beta = jnp.sqrt(bound)
     beta0 = jnp.asarray(beta0, jnp.float32)
 
-    def bisect(beta, sdf, z_vals, dists, d_star, valid=None):
-        curr_err = _error_bound(
-            beta0, beta[:, None], sdf, z_vals, dists, d_star, valid
-        )
+    def bisect(beta, sdf, z_vals, dists, d_star):
+        curr_err = _error_bound(beta0, beta[:, None], sdf, z_vals, dists, d_star)
         beta = jnp.where(curr_err <= cfg.eps, beta0, beta)
 
         def body(_, carry):
             beta_min, beta_max = carry
             beta_mid = 0.5 * (beta_min + beta_max)
             err = _error_bound(
-                beta0, beta_mid[:, None], sdf, z_vals, dists, d_star, valid
+                beta0, beta_mid[:, None], sdf, z_vals, dists, d_star
             )
             ok = err <= cfg.eps
             return (
@@ -237,66 +233,48 @@ def error_bound_z_vals(
         )
         return beta
 
-    def upsample_round(carry, it):
-        z_vals, sdf, beta = carry
+    # unrolled refinement: each round's ops compile at the table's true
+    # width (Ne, 2*Ne, ...) — no padding, no validity masks
+    for it in range(cfg.max_total_iters - 1):
         dists = z_vals[:, 1:] - z_vals[:, :-1]
         d_star = _d_star(z_vals, sdf)
-        n_real = Ne * (it + 1)
-        interval_valid = jnp.arange(M - 1)[None, :] < (n_real - 1)
-        beta = bisect(beta, sdf, z_vals, dists, d_star, interval_valid)
+        beta = bisect(beta, sdf, z_vals, dists, d_star)
 
-        # error-bound pdf over the current table; padded bins masked to zero
+        # error-bound pdf over the current table
         dists_inf = jnp.concatenate([dists, jnp.full((R, 1), 1e10)], axis=-1)
         density = _laplace_density_beta(sdf, beta[:, None])
         free_energy = dists_inf * density
         shifted = jnp.concatenate(
             [jnp.zeros((R, 1)), free_energy[:, :-1]], axis=-1
         )
-        transmittance = jnp.exp(-jnp.cumsum(shifted, axis=-1))
+        transmittance = jnp.exp(-_cumsum(shifted))
         err_per_sec = (
             jnp.exp(-d_star / beta[:, None])
             * (dists_inf[:, :-1] ** 2)
             / (4.0 * beta[:, None] ** 2)
         )
-        err_int = jnp.cumsum(err_per_sec, axis=-1)
+        err_int = _cumsum(err_per_sec)
         bound_opacity = (
             jnp.clip(jnp.exp(err_int), max=1e6) - 1.0
         ) * transmittance[:, :-1]
 
-        pdf = jnp.where(interval_valid, bound_opacity + cfg.add_tiny, 0.0)
+        pdf = bound_opacity + cfg.add_tiny
         pdf = pdf / jnp.maximum(jnp.sum(pdf, axis=-1, keepdims=True), 1e-30)
-        cdf = jnp.cumsum(pdf, axis=-1)
+        cdf = _cumsum(pdf)
 
         u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, Ne)[None], (R, Ne))
         new_samples = sample_pdf(z_vals, cdf, u)
-        # u == 1.0 indexes one past the real region into the padded slots
-        # (z = 1e9); clamp to the last real entry — the reference's u = 1
-        # lands on its far sample the same way. Unclamped, the 1e9 points
-        # reach sin() in the embedder, which is NaN on TPU for huge args.
-        z_last_real = jax.lax.dynamic_slice_in_dim(z_vals, n_real - 1, 1, axis=1)
-        new_samples = jnp.minimum(new_samples, z_last_real)
         new_sdf = query(new_samples)
 
-        # write the new entries into the next padding block, then re-sort.
-        # variadic lax.sort co-sorts the sdf payload inside the sort kernel —
-        # argsort + take_along_axis costs ~30ms per gather on TPU (cross-lane
-        # gathers), the payload sort ~2ms
-        z_vals = jax.lax.dynamic_update_slice(
-            z_vals, new_samples, (0, n_real)
-        )
-        sdf = jax.lax.dynamic_update_slice(sdf, new_sdf, (0, n_real))
+        # grow the table; variadic lax.sort co-sorts the sdf payload inside
+        # the sort kernel — argsort + take_along_axis costs ~30ms per gather
+        # on TPU (cross-lane gathers), the payload sort ~2ms
+        z_vals = jnp.concatenate([z_vals, new_samples], axis=-1)
+        sdf = jnp.concatenate([sdf, new_sdf], axis=-1)
         z_vals, sdf = jax.lax.sort((z_vals, sdf), dimension=-1, num_keys=1)
-        return (z_vals, sdf, beta), None
-
-    if cfg.max_total_iters > 1:
-        (z_buf, sdf_buf, beta), _ = jax.lax.scan(
-            upsample_round, (z_buf, sdf_buf, beta),
-            jnp.arange(cfg.max_total_iters - 1),
-        )
 
     # last round: bisect only (the reference's final loop pass does not add
     # samples), then draw the final sample set from transmittance weights
-    z_vals, sdf = z_buf, sdf_buf
     dists = z_vals[:, 1:] - z_vals[:, :-1]
     d_star = _d_star(z_vals, sdf)
     beta = bisect(beta, sdf, z_vals, dists, d_star)
@@ -305,12 +283,12 @@ def error_bound_z_vals(
     density = _laplace_density_beta(sdf, beta[:, None])
     free_energy = dists_inf * density
     shifted = jnp.concatenate([jnp.zeros((R, 1)), free_energy[:, :-1]], axis=-1)
-    transmittance = jnp.exp(-jnp.cumsum(shifted, axis=-1))
+    transmittance = jnp.exp(-_cumsum(shifted))
     weights = (1.0 - jnp.exp(-free_energy)) * transmittance
 
     pdf = weights[:, :-1] + 1e-5
     pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
-    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = _cumsum(pdf)
     N = cfg.N_samples
     if training and keys[1] is not None:
         u = jax.random.uniform(keys[1], (R, N))

@@ -20,7 +20,13 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
     # only pays off against the remote TPU compile service anyway, so keep the
     # CPU backend cache-free.  (Checking the config, not the backend, avoids
     # pinning the platform before callers get to choose it.)
-    if jax.config.jax_platforms and "cpu" in str(jax.config.jax_platforms):
+    #
+    # Only the FIRST entry of jax_platforms decides the default backend — the
+    # environment sets "axon,cpu" on TPU hosts, so a substring test for "cpu"
+    # silently disabled the cache everywhere (found when .jax_cache never
+    # materialized and every TPU run paid minutes of remote recompiles).
+    first = str(jax.config.jax_platforms or "").split(",")[0].strip()
+    if first == "cpu":
         return
 
     cache_dir = cache_dir or os.environ.get(

@@ -22,6 +22,8 @@ def main():
     from hold_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
     import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")  # matches train.py
     import jax.numpy as jnp
     import numpy as np
 

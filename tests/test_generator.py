@@ -67,6 +67,122 @@ def test_alignment_recovers_hand_translation():
     assert err1.max() < err0.max() * 0.3, (err0.max(), err1.max())
 
 
+def test_generator_chain_to_training(tmp_path):
+    """The L0->L1 contract as a chain (docs/data_doc.md:30-92 role): noisy v3d
+    hand predictions -> register_mano -> align (h/o/ho) -> build_dataset ->
+    a build/ dir that SequenceData loads and run_training optimizes."""
+    import cv2
+
+    from hold_tpu.data.dataset import SequenceData
+    from hold_tpu.generator.build_dataset import (
+        build_from_arrays,
+        entities_from_fits,
+    )
+    from hold_tpu.utils.config import Cfg, load_config
+
+    F = 4
+    rng = np.random.RandomState(0)
+
+    # --- stage 0: fabricate noisy per-frame v3d hand predictions ----------
+    srv, poses_gt, transl_gt, verts_gt, joints_gt = _gt_hand_sequence(F=F)
+    noisy_verts = verts_gt + 0.002 * rng.randn(*verts_gt.shape).astype(np.float32)
+
+    # --- stage 1: MANO registration + outlier infill -----------------------
+    fit = fit_mano_to_verts(noisy_verts, True, coarse_iters=60,
+                            fine_iters=60, lr=3e-2)
+    assert fit["vert_err"].mean() < 0.03
+    bad = mark_outliers(fit["vert_err"])
+    poses48 = np.asarray(fit["poses"])  # (F, 48): global orient ‖ hand pose
+    poses48, transl = slerp_infill(poses48, np.asarray(fit["transl"]), bad)
+
+    # --- stage 2: hand-object alignment in front of a camera ---------------
+    K = np.array([[100.0, 0, 40], [0, 100.0, 30], [0, 0, 1]], np.float32)
+    offset = np.array([0.0, 0.0, 0.6], np.float32)
+    j2d = np.asarray(project(jnp.asarray(K), jnp.asarray(joints_gt + offset)))
+    pts_cano = (0.03 * rng.randn(40, 3)).astype(np.float32)
+    prob = AlignmentProblem({"right": j2d}, None, pts_cano, K, hands=("right",))
+    init = prob.init_params(F)
+    init["right"]["global_orient"] = jnp.asarray(poses48[:, :3])
+    init["right"]["pose"] = jnp.asarray(poses48[:, 3:])
+    init["right"]["betas"] = jnp.asarray(fit["betas"])
+    p = prob.fit(init, "h", iters=120, lr=3e-2)
+    p = prob.fit(p, "o", iters=60, lr=2e-2, scale_unlock_at=30)
+    p = prob.fit(p, "ho", iters=30, lr=5e-3)
+    hand_z = np.asarray(p["right"]["transl"])[:, 2]
+    assert (hand_z > 0.3).all(), hand_z  # aligned in front of the camera
+
+    # --- stage 3: build the training dataset -------------------------------
+    img_dir = tmp_path / "frames"
+    mask_dir = tmp_path / "masks"
+    img_dir.mkdir(); mask_dir.mkdir()
+    aligned_verts = np.asarray(prob.hand_joints(p, "right"))
+    obj_pts = np.asarray(prob.object_pts(p))
+    img_paths, mask_paths = [], []
+    for i in range(F):
+        img = np.full((60, 80, 3), 60, np.uint8)
+        mask = np.zeros((60, 80), np.uint8)
+        for pts, code, col in [
+            (aligned_verts[i], 150, (200, 120, 90)),
+            (obj_pts[i], 50, (90, 200, 120)),
+        ]:
+            uv = np.asarray(project(jnp.asarray(K), jnp.asarray(pts)))
+            for u, v in uv:
+                cv2.circle(mask, (int(u), int(v)), 7, int(code), -1)
+                cv2.circle(img, (int(u), int(v)), 7, col, -1)
+        ip, mp = str(img_dir / f"{i:04d}.png"), str(mask_dir / f"{i:04d}.png")
+        cv2.imwrite(ip, img); cv2.imwrite(mp, mask)
+        img_paths.append(ip); mask_paths.append(mp)
+
+    w2c = np.tile(np.eye(4, dtype=np.float64), (F, 1, 1))
+    w2c[:, 2, 3] = 0.1  # nonzero camera radius for the normalization
+    obj6 = np.concatenate(
+        [np.asarray(p["object"]["global_orient"]),
+         np.asarray(p["object"]["transl"])], axis=-1).astype(np.float32)
+    entities = entities_from_fits(
+        {"right": {"poses": poses48, "betas": np.asarray(fit["betas"]),
+                   "transl": np.asarray(p["right"]["transl"])}},
+        obj6, pts_cano, float(np.exp(p["obj_scale_log"])),
+    )
+    build_from_arrays(str(tmp_path / "chainseq"), img_paths, mask_paths,
+                      K, w2c, entities)
+
+    # --- stage 4: the produced build/ dir actually trains -------------------
+    from hold_tpu.train import run_training
+
+    seq = SequenceData("chainseq", str(tmp_path), num_sample=8)
+    assert seq.n_frames == F
+    import tempfile
+
+    args = Cfg({
+        "case": "chainseq", "lr": 2e-3, "freeze_pose": False,
+        "fast_dev_run": True, "num_sample": 16, "tempo_len": F, "offset": 1,
+        "log_every": 1, "num_epoch": 1, "no_meshing": True, "mute": True,
+        "exp_key": "chain0000", "barf_s": 5, "barf_e": 50,
+        "eval_every_epoch": 100, "load_ckpt": "", "load_pose": "",
+        "total_step": 60, "log_root": tempfile.mkdtemp(), "seed": 0,
+        "no_vis": True,
+    })
+    cfg = load_config()
+    cfg["model"]["ray_sampler"].update(
+        N_samples=8, N_samples_eval=16, N_samples_extra=4,
+        max_total_iters=2, beta_iters=3,
+    )
+    params, scene, mesh_state, tracker = run_training(
+        args, cfg, seq=seq, max_steps=60
+    )
+    import json
+    import os
+
+    lines = [json.loads(l) for l in
+             open(os.path.join(tracker.log_dir, "metrics.jsonl"))]
+    losses = [l["loss"] for l in lines if "loss" in l]
+    assert len(losses) >= 40
+    assert all(np.isfinite(x) for x in losses)
+    # smoothed decrease: single-step losses are noisy at this tiny scale
+    first, last = np.mean(losses[:10]), np.mean(losses[-10:])
+    assert last < first, (first, last)
+
+
 def test_build_dataset_roundtrip(tmp_path):
     import cv2
 
