@@ -110,7 +110,10 @@ def main():
     # reference-default shape is 1,280 rays (batch 5 pairs x 128); bigger
     # shapes amortize fixed costs — report the full curve
     shapes = tuple(
-        int(s) for s in os.environ.get("BENCH_SHAPES", "1280,2560,5120").split(",")
+        int(s)
+        for s in os.environ.get(
+            "BENCH_SHAPES", "1280,5120,10240,20480"
+        ).split(",")
     )
     for total_rays in shapes:
         num_sample = total_rays // 10

@@ -50,6 +50,11 @@ def _apply_linear(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
         w = g * v / jnp.linalg.norm(v, axis=1, keepdims=True)
     else:
         w = layer["w"]
+    # mixed-precision contract: bf16 params pull activations down to bf16 at
+    # the layer boundary (embeddings/heads stay f32 at the call sites); f32
+    # params leave dtypes untouched
+    if w.dtype == jnp.bfloat16 and x.dtype != jnp.bfloat16:
+        x = x.astype(jnp.bfloat16)
     return x @ w.T + layer["b"]
 
 
@@ -186,9 +191,12 @@ def apply_implicit_trunk(
     h = x
     for l in range(plan["num_layers"] - 2):
         if plan["cond"] != "none" and l == 0 and plan["cond_dim"] > 0:
-            h = jnp.concatenate([h, cond], axis=-1)
+            h = jnp.concatenate([h, cond.astype(h.dtype)], axis=-1)
         if l in plan["skip_in"]:
-            h = jnp.concatenate([h, inp], axis=-1) / np.sqrt(2)
+            # python-float divisor: a np scalar would promote bf16 -> f32
+            h = jnp.concatenate(
+                [h, inp.astype(h.dtype)], axis=-1
+            ) / float(np.sqrt(2))
         h = _apply_linear(params["layers"][l], h)
         h = softplus100(h)
     return h
@@ -205,13 +213,17 @@ def _last_layer_weight(params: dict) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def implicit_sdf_from_trunk(params: dict, h: jnp.ndarray) -> jnp.ndarray:
-    """Scalar SDF head (row 0 of the output layer): (N,).
+    """Scalar SDF head (row 0 of the output layer): (N,), always f32.
 
     Kept width-1 on purpose: the double-backward (eikonal / normals) only
     traverses this head — the TPU compiler SIGILLs on second-order graphs
-    through wide output matmuls, but a width-1 head is safe."""
+    through wide output matmuls, but a width-1 head is safe.  The head runs
+    f32 even under bf16 shading: the sdf feeds the Laplace density whose
+    beta anneals to ~1e-3."""
     w, b = _last_layer_weight(params)
-    return h @ w[0] + b[0]
+    return h.astype(jnp.float32) @ w[0].astype(jnp.float32) + b[0].astype(
+        jnp.float32
+    )
 
 
 def implicit_feat_from_trunk(params: dict, h: jnp.ndarray) -> jnp.ndarray:
@@ -244,9 +256,11 @@ def apply_implicit_net(
     h = x
     for l in range(plan["num_layers"] - 1):
         if plan["cond"] != "none" and l == 0 and plan["cond_dim"] > 0:
-            h = jnp.concatenate([h, cond], axis=-1)
+            h = jnp.concatenate([h, cond.astype(h.dtype)], axis=-1)
         if l in plan["skip_in"]:
-            h = jnp.concatenate([h, inp], axis=-1) / np.sqrt(2)
+            h = jnp.concatenate(
+                [h, inp.astype(h.dtype)], axis=-1
+            ) / float(np.sqrt(2))
         h = _apply_linear(params["layers"][l], h)
         if l < plan["num_layers"] - 2:
             h = softplus100(h)
@@ -316,7 +330,12 @@ def apply_rendering_net(
             pose_embed = _apply_linear(params["lin_pose"], body_pose)
         else:
             pose_embed = jnp.zeros(points.shape[:-1] + (plan["dim_cond_embed"],))
-        h = jnp.concatenate([points, normals, pose_embed, feature_vectors], axis=-1)
+        h = jnp.concatenate(
+            [points, normals.astype(points.dtype),
+             pose_embed.astype(points.dtype),
+             feature_vectors.astype(points.dtype)],
+            axis=-1,
+        )
     else:
         raise NotImplementedError(plan["mode"])
 
@@ -324,4 +343,5 @@ def apply_rendering_net(
         h = _apply_linear(params["layers"][l], h)
         if l < plan["num_layers"] - 2:
             h = jax.nn.relu(h)
-    return jax.nn.sigmoid(h)
+    # sigmoid in f32: bf16 saturates early and the rgb loss is L1-tight
+    return jax.nn.sigmoid(h.astype(jnp.float32))

@@ -15,6 +15,7 @@ bone transforms differ per frame.
 
 from __future__ import annotations
 
+import os
 from typing import Any, NamedTuple
 
 import jax
@@ -23,7 +24,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mano.server import ManoServerState, mano_server_forward
-from ..ops.knn import knn_blend_weights, skinning, skinning_jacobian
+from ..ops.knn import (
+    knn_blend_weights,
+    knn_blend_weights_t,
+    skinning,
+    skinning_jacobian,
+    skinning_jacobian_inv_t,
+    skinning_t,
+)
 from ..render.ray_sampler import SamplerConfig, error_bound_z_vals
 from ..utils.transforms import inverse_mat3, safe_norm
 from ..ops.chunk import map_chunked
@@ -135,10 +143,10 @@ def mano_node_forward(
     )
 
     def inverse_warp(pts_bps):  # (B, P*S, 3) deformed -> canonical
-        w, outlier = knn_blend_weights(
+        w_t, outlier = knn_blend_weights_t(
             pts_bps, verts_posed, skin_w, K=plans.knn_k, max_dist=plans.max_dist
         )
-        return skinning(pts_bps, w, tfs, inverse=True), outlier
+        return skinning_t(pts_bps, w_t, tfs, inverse=True), outlier
 
     def sdf_at(pts_flat_c, n_pts):  # canonical points (N, 3) -> (N, 1+F)
         cond = _flat_per_point(cond_pose, n_pts // B)
@@ -166,25 +174,23 @@ def mano_node_forward(
     N_pts = B * P * S_f
 
     # KNN weights against the per-frame POSED verts (stop-gradient contract);
-    # efficient batched pallas shape, outside the remat region so it is
-    # never recomputed
-    w_d, outlier = knn_blend_weights(
+    # points-minor pallas kernel + skinning keep the per-point affine algebra
+    # on full-lane (B, P) planes (see ops/knn.py "Points-minor LBS warps")
+    w_d_t, outlier = knn_blend_weights_t(
         pts, verts_posed, skin_w, K=plans.knn_k, max_dist=plans.max_dist
     )
 
     # inverse LBS warp at full width: elementwise chains — safe fusions
-    x_c = skinning(pts, w_d, tfs, inverse=True)  # (B, P*S, 3)
+    x_c = skinning_t(pts, w_d_t, tfs, inverse=True)  # (B, P*S, 3)
     x_c_flat = x_c.reshape(-1, 3)
 
     # forward-skinning Jacobian at canonical points: weights queried against
     # the CANONICAL verts (deformer.py:70-82), batched pallas call
-    w_cano, _ = knn_blend_weights(
+    w_cano_t, _ = knn_blend_weights_t(
         x_c, jnp.broadcast_to(server.verts_c, (B,) + server.verts_c.shape[1:]),
         skin_w, K=plans.knn_k, max_dist=plans.max_dist,
     )
-    Jinv = inverse_mat3(
-        skinning_jacobian(w_cano, tfs).reshape(-1, 3, 3)
-    )
+    Jinv9 = skinning_jacobian_inv_t(w_cano_t, tfs).reshape(-1, 9)
 
     cond_pp = _flat_per_point(cond_pose, P * S_f)
     view = -jnp.broadcast_to(
@@ -195,30 +201,42 @@ def mano_node_forward(
     # head (replaces the reference's double implicit forward + autograd pass
     # at volsdf_utils.py:82-105) + color MLP; only the MLPs live inside the
     # remat'd chunk, so the backward recompute is just the trunks
-    def shade(xc, cond, vw, jinv):
+    imp_sh = _shade_params(nparams["implicit"])
+    rend_sh = _shade_params(nparams["rendering"])
+
+    def shade(xc, cond, vw, jinv9):
         def field(p):
             h = apply_implicit_trunk(
-                nparams["implicit"], plans.implicit, p, cond,
+                imp_sh, plans.implicit, p, cond,
                 step=step, barf_cfg=plans.barf_cfg,
             )
+            # f32 head over the (possibly bf16) trunk activation
             return implicit_sdf_from_trunk(nparams["implicit"], h), h
 
         (sdf, h_trunk), vjp = jax.vjp(field, xc)
         h_trunk = checkpoint_name(h_trunk, "saved")
         g = vjp((jnp.ones_like(sdf), jnp.zeros_like(h_trunk)))[0]
-        feat = implicit_feat_from_trunk(nparams["implicit"], h_trunk)
+        g = g.astype(jnp.float32)
+        feat = implicit_feat_from_trunk(imp_sh, h_trunk)
 
-        # n_j = sum_i g_i (J^-1)_{ij}  (volsdf_utils.py:98-102)
-        nrm = jnp.einsum("ni,nij->nj", g, jinv)
+        # n_j = sum_i g_i (J^-1)_{ij}  (volsdf_utils.py:98-102); jinv9 is
+        # row-major (N, 9) — expanded explicitly to avoid a (N, 3, 3) relayout
+        nrm = jnp.stack(
+            [
+                sum(g[:, i] * jinv9[:, 3 * i + j] for i in range(3))
+                for j in range(3)
+            ],
+            axis=-1,
+        )
         nrm = nrm / jnp.maximum(safe_norm(nrm, keepdims=True), 1e-6)
         rgb = apply_rendering_net(
-            nparams["rendering"], plans.rendering,
+            rend_sh, plans.rendering,
             xc, nrm, vw, cond, feat, step=step, barf_cfg=plans.barf_cfg,
         )
         return sdf, rgb, nrm
 
     sdf_flat, rgb, normals = map_chunked(
-        shade, (x_c_flat, cond_pp, view, Jinv), N_pts, remat=True,
+        shade, (x_c_flat, cond_pp, view, Jinv9), N_pts, remat=True,
     )
 
     density = laplace_density(nparams["density"], sdf_flat).reshape(B * P, S_f, 1)
@@ -309,12 +327,15 @@ def object_node_forward(
     tc_pp = _flat_per_point(time_code, P * S_f)
     view = -jnp.broadcast_to(ray_dirs[:, None, :], (B * P, S_f, 3)).reshape(-1, 3)
 
+    imp_sh = _shade_params(nparams["implicit"])
+    rend_sh = _shade_params(nparams["rendering"])
+
     def shade(xc, vw, jinv, tc):
         cond = jnp.zeros((xc.shape[0], 0))
 
         def field(p):
             h = apply_implicit_trunk(
-                nparams["implicit"], plans.implicit, p, cond,
+                imp_sh, plans.implicit, p, cond,
                 step=step, barf_cfg=plans.barf_cfg,
             )
             return implicit_sdf_from_trunk(nparams["implicit"], h), h
@@ -322,13 +343,14 @@ def object_node_forward(
         (sdf, h_trunk), vjp = jax.vjp(field, xc)
         h_trunk = checkpoint_name(h_trunk, "saved")
         g = vjp((jnp.ones_like(sdf), jnp.zeros_like(h_trunk)))[0]
-        feat = implicit_feat_from_trunk(nparams["implicit"], h_trunk)
+        g = g.astype(jnp.float32)
+        feat = implicit_feat_from_trunk(imp_sh, h_trunk)
         nrm = jnp.einsum("ni,nij->nj", g, jinv)
         nrm = nrm / jnp.maximum(safe_norm(nrm, keepdims=True), 1e-6)
         rgb = apply_rendering_net(
-            nparams["rendering"], plans.rendering,
+            rend_sh, plans.rendering,
             xc, nrm, vw, jnp.zeros((xc.shape[0], 0)),
-            jnp.concatenate([feat, tc], axis=-1),
+            jnp.concatenate([feat.astype(tc.dtype), tc], axis=-1),
             step=step, barf_cfg=plans.barf_cfg,
         )
         return sdf, rgb, nrm
@@ -363,6 +385,23 @@ def _bf16_tree(tree):
     )
 
 
+def _shade_params(net_params: dict) -> dict:
+    """bf16 copy of MLP params for the shading path (TPU only).
+
+    Mixed-precision shading: embeddings, the width-1 SDF head, the Laplace
+    density, and all losses stay f32; the 256-wide trunk/rendering matmuls
+    and their remat/backward chains run bf16 — they dominate the grad stage's
+    HBM traffic.  The cast is differentiable, so f32 master params receive
+    f32 gradient accumulation (standard mixed precision).  Set HOLD_SHADE_F32=1
+    to force full f32 (A/B runs, debugging)."""
+    if (
+        jax.devices()[0].platform == "tpu"
+        and not os.environ.get("HOLD_SHADE_F32")
+    ):
+        return _bf16_tree(net_params)
+    return net_params
+
+
 def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
                        step, epoch, rng, training):
     """Sampler-only stage for the MANO node (stop-gradient z table).
@@ -393,17 +432,17 @@ def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
     def sampler_sdf(pts_RS3):
         S = pts_RS3.shape[1]
         pts = pts_RS3.reshape(B, P * S, 3)
-        w, _ = knn_blend_weights(
+        w_t, _ = knn_blend_weights_t(
             pts, verts_posed, skin_w, K=plans.knn_k, max_dist=plans.max_dist
         )
-        x_c = skinning(pts, w, tfs, inverse=True)
-        cond = _flat_per_point(cond_pose, P * S).astype(jnp.bfloat16)
+        x_c = skinning_t(pts, w_t, tfs, inverse=True)
+        cond = _flat_per_point(cond_pose, P * S)
         # trunk + width-1 SDF head: the sampler never needs the 256-wide
         # feature head, and slicing it off explicitly keeps the (N, 257)
         # output from ever materializing
         h = apply_implicit_trunk(
             implicit_bf16, plans.implicit,
-            x_c.reshape(-1, 3).astype(jnp.bfloat16), cond,
+            x_c.reshape(-1, 3), cond,
             step=step, barf_cfg=plans.barf_cfg,
         )
         out = implicit_sdf_from_trunk(implicit_bf16, h)
@@ -434,7 +473,7 @@ def object_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
         cond = jnp.zeros((B * P * S, 0), jnp.bfloat16)
         h = apply_implicit_trunk(
             implicit_bf16, plans.implicit,
-            x_c.reshape(-1, 3).astype(jnp.bfloat16), cond,
+            x_c.reshape(-1, 3), cond,
             step=step, barf_cfg=plans.barf_cfg,
         )
         out = implicit_sdf_from_trunk(implicit_bf16, h)

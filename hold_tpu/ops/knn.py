@@ -174,6 +174,117 @@ def knn_blend_weights(pts, verts, skin_weights, K=15, max_dist=0.1):
 
 
 # --------------------------------------------------------------------------
+# Transposed (points-minor) kernel
+# --------------------------------------------------------------------------
+#
+# The straight kernel emits weights as (P, Jp) with J=16 padded to 128 lanes
+# — 8x write amplification — and every consumer (skinning, Jacobians) then
+# runs per-point small-matrix math on (..., 3, 3)/(4, 4) arrays whose minor
+# dims tile to (8, 128) with ~40x padding waste (traced at ~50 ms/step).
+# Keeping the POINT axis minor fixes both: weights come out (J, P) —
+# J=16 rides the sublane dim exactly — and all downstream per-point algebra
+# runs on (B, P) slices at full lane utilisation (see skinning_t below).
+
+def _knn_kernel_t(pts_ref, verts_ref, vsq_ref, psq_ref, w_ref,
+                  out_w_ref, out_d_ref, *, K):
+    """Transposed tile: distances as (Vp, T), weights emitted as (Jp, T).
+
+    (A bf16 ranking loop was tried for the VPU-bound K extractions; Mosaic on
+    v5e rejects bf16 vector compares — "Target does not support this
+    comparison" — so ranking stays f32.)"""
+    pts = pts_ref[:]  # (T, 8) xyz padded
+    verts = verts_ref[:]  # (Vp, 8)
+    vsq = vsq_ref[:]  # (Vp, 1), +big on padding
+    psq = psq_ref[:]  # (1, T)
+    cross = jax.lax.dot_general(
+        verts, pts, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Vp, T)
+    d2 = jnp.maximum(vsq + psq - 2.0 * cross, 0.0)
+    d2c = jnp.minimum(d2, _CLAMP)
+
+    BIG = jnp.float32(1e9)
+    work = d2  # un-clamped ordering; padding >= 1e8 via vsq
+    first_min = jnp.min(work, axis=0, keepdims=True)  # (1, T)
+    kth = first_min
+    for _ in range(K - 1):
+        work = jnp.where(work <= kth, BIG, work)
+        kth = jnp.min(work, axis=0, keepdims=True)
+
+    mask = d2 <= kth
+    conf = jnp.where(mask, jnp.exp(-d2c), 0.0)
+    conf = conf / jnp.sum(conf, axis=0, keepdims=True)
+    out_w_ref[:] = jax.lax.dot_general(
+        w_ref[:], conf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Jp, T)
+    out_d_ref[:] = jnp.sqrt(jnp.minimum(first_min, _CLAMP))
+
+
+@functools.partial(jax.jit, static_argnames=("K", "max_dist", "interpret"))
+def _knn_pallas_single_t(pts, verts, skin_weights, K, max_dist,
+                         interpret=False):
+    """(P,3),(V,3),(V,J) -> ((J,P), (P,))"""
+    P, V, J = pts.shape[0], verts.shape[0], skin_weights.shape[1]
+    T = 512
+    Pp = _round_up(P, T)
+    Vp = _round_up(V, 128)
+    Jp = _round_up(J, 8)  # sublane dim now — 16 fits exactly
+
+    pts_pad = jnp.zeros((Pp, 8), jnp.float32).at[:P, :3].set(pts)
+    verts_pad = jnp.zeros((Vp, 8), jnp.float32).at[:V, :3].set(verts)
+    vsq = jnp.full((Vp, 1), 1e9, jnp.float32).at[:V, 0].set(
+        jnp.sum(verts * verts, axis=-1)
+    )
+    psq = jnp.zeros((1, Pp), jnp.float32).at[0, :P].set(
+        jnp.sum(pts * pts, axis=-1)
+    )
+    w_pad = jnp.zeros((Vp, Jp), jnp.float32).at[:V, :J].set(skin_weights)
+
+    grid = (Pp // T,)
+    out_w, out_d = pl.pallas_call(
+        functools.partial(_knn_kernel_t, K=K),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vp, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vp, Jp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Jp, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Jp, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Pp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pts_pad, verts_pad, vsq, psq, w_pad)
+    return out_w[:J, :P], out_d[0, :P] > max_dist
+
+
+def knn_blend_weights_t(pts, verts, skin_weights, K=15, max_dist=0.1,
+                        interpret=False):
+    """Points-minor variant: returns (weights (B,J,P), outlier (B,P)).
+
+    Same contract as knn_blend_weights (stop-gradient weights); TPU runs the
+    transposed Pallas kernel, other platforms transpose the XLA fallback."""
+    platform = jax.devices()[0].platform
+    if platform == "tpu" or interpret:
+        pts = jax.lax.stop_gradient(pts)
+        verts = jax.lax.stop_gradient(verts)
+        skin_weights = jax.lax.stop_gradient(skin_weights)
+
+        def one(p, v, w):
+            return _knn_pallas_single_t(p, v, w, K, max_dist, interpret)
+
+        return jax.vmap(one)(pts, verts, skin_weights)
+    w, outlier = knn_blend_weights_xla(pts, verts, skin_weights, K, max_dist)
+    return jnp.swapaxes(w, 1, 2), outlier
+
+
+# --------------------------------------------------------------------------
 # LBS warps
 # --------------------------------------------------------------------------
 
@@ -200,3 +311,73 @@ def skinning_jacobian(w: jnp.ndarray, tfs: jnp.ndarray) -> jnp.ndarray:
     code/src/engine/volsdf_utils.py:66-80, because the KNN weights are
     detached; here it is a single einsum. (B,P,J),(B,J,4,4)->(B,P,3,3)."""
     return jnp.einsum("bpj,bjmn->bpmn", w, tfs[..., :3, :3])
+
+
+# --------------------------------------------------------------------------
+# Points-minor LBS warps
+# --------------------------------------------------------------------------
+#
+# Same math as skinning/skinning_jacobian, but every per-point quantity keeps
+# the POINT axis as the minor (lane) dimension: blended transforms live as 12
+# (B, P) planes instead of (B, P, 4, 4) arrays whose (4, 4) tails tile to
+# (8, 128) with massive padding.  The blend itself becomes one MXU matmul
+# (M=12, K=J, N=P) and the affine inverse ~30 full-lane VPU ops.
+
+def _blend_tfs_t(w_t: jnp.ndarray, tfs: jnp.ndarray) -> jnp.ndarray:
+    """(B,J,P),(B,J,4,4) -> (B,12,P): rows of sum_j w_j T_j, c = 4*i + m."""
+    flat = tfs[..., :3, :].reshape(tfs.shape[0], tfs.shape[1], 12)
+    return jax.lax.dot_general(
+        flat, w_t, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (B, 12, P)
+
+
+def _inv3_planes(m):
+    """Adjugate inverse of a 3x3 given as 9 (B,P) planes (row-major list)."""
+    a, b, c, d, e, f, g, h, i = m
+    A = e * i - f * h
+    B_ = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B_ + c * C
+    inv_det = 1.0 / jnp.where(
+        jnp.abs(det) < 1e-12, jnp.sign(det) * 1e-12 + 1e-20, det
+    )
+    adj = [
+        A, -(b * i - c * h), (b * f - c * e),
+        B_, (a * i - c * g), -(a * f - c * d),
+        C, -(a * h - b * g), (a * e - b * d),
+    ]
+    return [x * inv_det for x in adj]
+
+
+def skinning_t(x: jnp.ndarray, w_t: jnp.ndarray, tfs: jnp.ndarray,
+               inverse: bool = False) -> jnp.ndarray:
+    """Blend-skin points, points-minor internals. x (B,P,3), w_t (B,J,P),
+    tfs (B,J,4,4) -> (B,P,3).  Matches skinning() with w = w_t^T."""
+    A = _blend_tfs_t(w_t, tfs)  # (B, 12, P)
+    xt = jnp.swapaxes(x, 1, 2)  # (B, 3, P)
+    R = [A[:, 4 * i + m] for i in range(3) for m in range(3)]  # 9 x (B, P)
+    t = [A[:, 4 * i + 3] for i in range(3)]
+    xs = [xt[:, m] for m in range(3)]
+    if inverse:
+        Rinv = _inv3_planes(R)
+        diff = [xs[m] - t[m] for m in range(3)]
+        ys = [
+            sum(Rinv[3 * i + m] * diff[m] for m in range(3)) for i in range(3)
+        ]
+    else:
+        ys = [
+            sum(R[3 * i + m] * xs[m] for m in range(3)) + t[i]
+            for i in range(3)
+        ]
+    return jnp.stack(ys, axis=-1)  # (B, P, 3)
+
+
+def skinning_jacobian_inv_t(w_t: jnp.ndarray, tfs: jnp.ndarray) -> jnp.ndarray:
+    """(sum_j w_j R_j)^-1 as (B,P,9) row-major — the inverse forward-skinning
+    Jacobian consumed by the shading normal transform.  Points-minor algebra,
+    transposed once at the end for the (N, 9) chunked shading input."""
+    A = _blend_tfs_t(w_t, tfs)  # (B, 12, P)
+    R = [A[:, 4 * i + m] for i in range(3) for m in range(3)]
+    Rinv = _inv3_planes(R)  # 9 x (B, P)
+    return jnp.stack(Rinv, axis=-1)  # (B, P, 9)

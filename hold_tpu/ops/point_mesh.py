@@ -173,6 +173,82 @@ def min_vertex_dist(pts: jnp.ndarray, verts: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))
 
 
+def _min_vdist_kernel(pts_ref, verts_ref, vsq_ref, psq_ref, out_ref):
+    """One (vert-tile, point-tile) grid step; running min over vert tiles.
+
+    Distances as (Vt, T) with the point axis minor; the cross term rides the
+    MXU instead of being folded into a VPU loop fusion (which is what XLA
+    does when the (P, V) matmul feeds straight into a min-reduce — traced at
+    ~12 ms/step for 500k x 16k at bench shapes)."""
+    import jax.experimental.pallas as pl  # local: keep module import light
+
+    j = pl.program_id(1)
+    pts = pts_ref[:]  # (T, 8)
+    verts = verts_ref[:]  # (Vt, 8)
+    cross = jax.lax.dot_general(
+        verts, pts, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Vt, T)
+    d2 = jnp.maximum(vsq_ref[:] + psq_ref[:] - 2.0 * cross, 0.0)
+    m = jnp.min(d2, axis=0, keepdims=True)  # (1, T)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = m
+
+    @pl.when(j > 0)
+    def _acc():
+        out_ref[:] = jnp.minimum(out_ref[:], m)
+
+
+def min_vertex_dist_pallas(pts: jnp.ndarray, verts: jnp.ndarray,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Pallas version of min_vertex_dist; identical result."""
+    import functools
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pts = jax.lax.stop_gradient(pts)
+    verts = jax.lax.stop_gradient(verts)
+    P, V = pts.shape[0], verts.shape[0]
+    T, Vt = 2048, 2048
+    Pp = -(-P // T) * T
+    Vp = -(-V // Vt) * Vt
+
+    pts_pad = jnp.zeros((Pp, 8), jnp.float32).at[:P, :3].set(pts)
+    verts_pad = jnp.zeros((Vp, 8), jnp.float32).at[:V, :3].set(verts)
+    vsq = jnp.full((Vp, 1), 1e12, jnp.float32).at[:V, 0].set(
+        jnp.sum(verts * verts, axis=-1)
+    )
+    psq = jnp.zeros((1, Pp), jnp.float32).at[0, :P].set(
+        jnp.sum(pts * pts, axis=-1)
+    )
+
+    out = pl.pallas_call(
+        _min_vdist_kernel,
+        grid=(Pp // T, Vp // Vt),
+        in_specs=[
+            pl.BlockSpec((T, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vt, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vt, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, Pp), jnp.float32),
+        interpret=interpret,
+    )(pts_pad, verts_pad, vsq, psq)
+    return jnp.sqrt(jnp.maximum(out[0, :P], 0.0))
+
+
+def min_vertex_dist_fast(pts: jnp.ndarray, verts: jnp.ndarray) -> jnp.ndarray:
+    """Platform dispatch: Pallas kernel on TPU for large products."""
+    if jax.devices()[0].platform == "tpu" and pts.shape[0] * verts.shape[0] > 2**22:
+        return min_vertex_dist_pallas(pts, verts)
+    return min_vertex_dist(pts, verts)
+
+
 def off_surface_by_vertex_bound(
     pts: jnp.ndarray,  # (P,3) flat ray samples
     verts: jnp.ndarray,  # (V,3) mesh vertices
@@ -189,7 +265,7 @@ def off_surface_by_vertex_bound(
     winding-number sweep (hundreds of ms) with one matmul (<2 ms); the only
     deviation is that rays in the (threshold, threshold+h] band are
     conservatively treated as near-surface."""
-    d = min_vertex_dist(pts, verts)
+    d = min_vertex_dist_fast(pts, verts)
     per_ray = jnp.min(d.reshape(num_rays, -1), axis=1)
     return per_ray > (threshold + h_margin)
 

@@ -109,11 +109,14 @@ def background_forward(
 ) -> dict:
     R, S = z_vals_bg.shape
     from ..models.mlp import resolve_weight_norm
+    from ..models.nodes import _shade_params
 
     params = dict(params)
     params["implicit"] = resolve_weight_norm(params["implicit"])
     params["rendering"] = resolve_weight_norm(params["rendering"])
     latent = params["frame_latent"][frame_idx]  # (R, D)
+    imp_sh = _shade_params(params["implicit"])
+    rend_sh = _shade_params(params["rendering"])
 
     z_flip = jnp.flip(z_vals_bg, axis=-1)  # 1 -> 0
     dirs = jnp.broadcast_to(ray_dirs[:, None, :], (R, S, 3))
@@ -121,14 +124,17 @@ def background_forward(
     pts4 = depth2pts_outside(locs, dirs, z_flip, radius)  # (R, S, 4)
 
     latent_per_pt = jnp.broadcast_to(latent[:, None, :], (R, S, latent.shape[-1]))
+    # whole bg net may run bf16: its "sdf" channel is a NeRF++ density (no
+    # eikonal/second-order), so the f32-head constraint of the fg nodes does
+    # not apply here
     out = apply_implicit_net(
-        params["implicit"], plans["implicit"],
+        imp_sh, plans["implicit"],
         pts4.reshape(R * S, 4), latent_per_pt.reshape(R * S, -1), step=step,
     )
-    bg_sdf = out[:, :1]
+    bg_sdf = out[:, :1].astype(jnp.float32)
     bg_feat = out[:, 1:]
     rgb = apply_rendering_net(
-        params["rendering"], plans["rendering"],
+        rend_sh, plans["rendering"],
         None, None,
         dirs.reshape(R * S, 3), None, bg_feat,
         frame_latent_code=latent_per_pt.reshape(R * S, -1),

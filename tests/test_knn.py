@@ -55,6 +55,46 @@ def test_pallas_interpret_matches_xla():
     np.testing.assert_array_equal(m_p, m_x)
 
 
+def test_pallas_transposed_interpret_matches_xla():
+    from hold_tpu.ops.knn import _knn_pallas_single_t
+
+    pts, verts, w = _setup(B=1, P=64, V=50, J=16, seed=3)
+    w_x, m_x = knn_blend_weights_xla(pts, verts, w, K=7, max_dist=0.08)
+    w_t, m_t = _knn_pallas_single_t(pts[0], verts[0], w[0], 7, 0.08,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(w_t).T, w_x[0], atol=1e-5)
+    np.testing.assert_array_equal(m_t, m_x[0])
+
+
+def test_skinning_t_matches_skinning():
+    from hold_tpu.ops.knn import skinning_jacobian_inv_t, skinning_t
+    from hold_tpu.utils.rot import axis_angle_to_matrix
+    from hold_tpu.utils.transforms import inverse_mat3
+
+    rng = np.random.RandomState(5)
+    B, P, J = 2, 40, 16
+    aa = jnp.asarray(rng.randn(B, J, 3) * 0.4, jnp.float32)
+    tfs = jnp.zeros((B, J, 4, 4))
+    tfs = tfs.at[..., :3, :3].set(axis_angle_to_matrix(aa))
+    tfs = tfs.at[..., :3, 3].set(jnp.asarray(rng.randn(B, J, 3) * 0.1, jnp.float32))
+    tfs = tfs.at[..., 3, 3].set(1.0)
+    w = rng.rand(B, P, J).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+    w = jnp.asarray(w)
+    x = jnp.asarray(rng.randn(B, P, 3) * 0.1, jnp.float32)
+
+    for inverse in (False, True):
+        ref = skinning(x, w, tfs, inverse=inverse)
+        got = skinning_t(x, jnp.swapaxes(w, 1, 2), tfs, inverse=inverse)
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    jinv_ref = inverse_mat3(skinning_jacobian(w, tfs).reshape(-1, 3, 3))
+    jinv_t = skinning_jacobian_inv_t(jnp.swapaxes(w, 1, 2), tfs)
+    np.testing.assert_allclose(
+        jinv_t.reshape(-1, 3, 3), jinv_ref, atol=2e-5
+    )
+
+
 def test_weights_are_stop_gradient():
     pts, verts, w = _setup(B=1, P=10, V=20, J=4)
 

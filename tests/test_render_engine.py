@@ -178,3 +178,14 @@ def test_signed_distance_to_mesh_cube():
                                 jnp.asarray(faces))
     )
     np.testing.assert_allclose(sd, [-0.5, 0.3, 1.0, -0.1], atol=1e-5)
+
+
+def test_min_vertex_dist_pallas_matches_xla():
+    from hold_tpu.ops.point_mesh import min_vertex_dist, min_vertex_dist_pallas
+
+    rng = np.random.RandomState(7)
+    pts = jnp.asarray(rng.randn(3000, 3).astype(np.float32))
+    verts = jnp.asarray(rng.randn(700, 3).astype(np.float32) * 0.5)
+    a = min_vertex_dist(pts, verts)
+    b = min_vertex_dist_pallas(pts, verts, interpret=True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
