@@ -206,6 +206,10 @@ def empty_object_mesh_state() -> dict:
     return {
         "tri": jnp.full((OBJ_MESH_MAX_F, 3, 3), PAD_FAR, jnp.float32),
         "centers": jnp.zeros((16384, 3), jnp.float32),
+        # off-surface bound sweep: unique verts only, FAR-padded (a padded
+        # row can never be the min distance) — half the 500k x 16k sweep the
+        # cyclically-tiled eikonal buffer would cost
+        "bound_centers": jnp.full((8192, 3), 1e4, jnp.float32),
         "sigma_xyz": jnp.ones((3,), jnp.float32),
         "h_margin": jnp.asarray(0.0, jnp.float32),
         "valid": jnp.asarray(0.0, jnp.float32),
@@ -217,25 +221,30 @@ def object_mesh_state_from_mesh(vertices: np.ndarray, faces: np.ndarray) -> dict
     # off-surface bound needs EVERY vertex present, not a truncation)
     from ..utils.mesh import decimate_mesh
 
-    if faces.shape[0] > OBJ_MESH_MAX_F or vertices.shape[0] > 16384:
+    if faces.shape[0] > OBJ_MESH_MAX_F or vertices.shape[0] > 8192:
         m = decimate_mesh(vertices, faces, OBJ_MESH_MAX_F // 2)
         vertices, faces = m.vertices, m.faces
-        if vertices.shape[0] > 16384:  # extreme fallback
+        if vertices.shape[0] > 8192:  # extreme fallback
             m = decimate_mesh(vertices, faces, 8000)
             vertices, faces = m.vertices, m.faces
     tri = np.full((OBJ_MESH_MAX_F, 3, 3), PAD_FAR, np.float32)
     F = min(faces.shape[0], OBJ_MESH_MAX_F)
     tri[:F] = vertices[faces[:F]]
     sigma = np.abs(vertices).max(axis=0) * 1.1
-    # fixed-size eikonal/bound centers: every vertex, tiled cyclically
+    # fixed-size eikonal centers: every vertex, tiled cyclically (sampling
+    # substrate — duplicates are harmless there)
     reps = int(np.ceil(16384 / max(vertices.shape[0], 1)))
     centers = np.tile(vertices, (reps, 1))[:16384].astype(np.float32)
+    # bound centers: unique verts, FAR padding (min distance unaffected)
+    bound = np.full((8192, 3), 1e4, np.float32)
+    bound[: vertices.shape[0]] = vertices
     h = float(np.asarray(face_circumradius_bound(
         np.asarray(vertices, np.float32), np.asarray(faces)
     )))
     return {
         "tri": jnp.asarray(tri),
         "centers": jnp.asarray(centers),
+        "bound_centers": jnp.asarray(bound),
         "sigma_xyz": jnp.asarray(sigma, jnp.float32),
         "h_margin": jnp.asarray(h, jnp.float32),
         "valid": jnp.asarray(1.0, jnp.float32),
@@ -347,9 +356,10 @@ def prepare_loss_targets_object(
         sample_dict["canonical_pts"].reshape(-1, 3)
     )
     # conservative vertex-distance bound against the cached mesh vertex set
-    # (padding centers sit at 0 but validity is gated by mesh_state['valid'])
+    # (validity gated by mesh_state['valid'])
     out["index_off_surface"] = off_surface_by_vertex_bound(
-        cano_pts, mesh_state["centers"], B * P, 0.05, mesh_state["h_margin"]
+        cano_pts, mesh_state["bound_centers"], B * P, 0.05,
+        mesh_state["h_margin"]
     )
 
     # eikonal samples around the object cano mesh vertices

@@ -324,12 +324,18 @@ def skinning_jacobian(w: jnp.ndarray, tfs: jnp.ndarray) -> jnp.ndarray:
 # (M=12, K=J, N=P) and the affine inverse ~30 full-lane VPU ops.
 
 def _blend_tfs_t(w_t: jnp.ndarray, tfs: jnp.ndarray) -> jnp.ndarray:
-    """(B,J,P),(B,J,4,4) -> (B,12,P): rows of sum_j w_j T_j, c = 4*i + m."""
+    """(B,J,P),(B,J,4,4) -> (12,B,P): rows of sum_j w_j T_j, c = 4*i + m.
+
+    The component axis LEADS the result: slicing a leading dim is a free
+    contiguous view, whereas slicing the middle of a (B,12,P) dot output
+    made XLA materialize each plane as (B,1,P) with the singleton on the
+    128-lane dim (traced at ~5.6 ms per slice fusion)."""
     flat = tfs[..., :3, :].reshape(tfs.shape[0], tfs.shape[1], 12)
-    return jax.lax.dot_general(
+    out = jax.lax.dot_general(
         flat, w_t, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (B, 12, P)
+    return jnp.moveaxis(out, 1, 0)  # (12, B, P)
 
 
 def _inv3_planes(m):
@@ -354,11 +360,11 @@ def skinning_t(x: jnp.ndarray, w_t: jnp.ndarray, tfs: jnp.ndarray,
                inverse: bool = False) -> jnp.ndarray:
     """Blend-skin points, points-minor internals. x (B,P,3), w_t (B,J,P),
     tfs (B,J,4,4) -> (B,P,3).  Matches skinning() with w = w_t^T."""
-    A = _blend_tfs_t(w_t, tfs)  # (B, 12, P)
-    xt = jnp.swapaxes(x, 1, 2)  # (B, 3, P)
-    R = [A[:, 4 * i + m] for i in range(3) for m in range(3)]  # 9 x (B, P)
-    t = [A[:, 4 * i + 3] for i in range(3)]
-    xs = [xt[:, m] for m in range(3)]
+    A = _blend_tfs_t(w_t, tfs)  # (12, B, P)
+    xt = jnp.moveaxis(x, 2, 0)  # (3, B, P)
+    R = [A[4 * i + m] for i in range(3) for m in range(3)]  # 9 x (B, P)
+    t = [A[4 * i + 3] for i in range(3)]
+    xs = [xt[m] for m in range(3)]
     if inverse:
         Rinv = _inv3_planes(R)
         diff = [xs[m] - t[m] for m in range(3)]
@@ -377,7 +383,7 @@ def skinning_jacobian_inv_t(w_t: jnp.ndarray, tfs: jnp.ndarray) -> jnp.ndarray:
     """(sum_j w_j R_j)^-1 as (B,P,9) row-major — the inverse forward-skinning
     Jacobian consumed by the shading normal transform.  Points-minor algebra,
     transposed once at the end for the (N, 9) chunked shading input."""
-    A = _blend_tfs_t(w_t, tfs)  # (B, 12, P)
-    R = [A[:, 4 * i + m] for i in range(3) for m in range(3)]
+    A = _blend_tfs_t(w_t, tfs)  # (12, B, P)
+    R = [A[4 * i + m] for i in range(3) for m in range(3)]
     Rinv = _inv3_planes(R)  # 9 x (B, P)
     return jnp.stack(Rinv, axis=-1)  # (B, P, 9)
