@@ -115,6 +115,7 @@ def main():
             "BENCH_SHAPES", "1280,5120,10240,20480"
         ).split(",")
     )
+    failed = []
     for total_rays in shapes:
         num_sample = total_rays // 10
         batch_np = seq.sample_tempo_batch(rng, batch_size=5, num_sample=num_sample)
@@ -125,12 +126,16 @@ def main():
         opt_state = tx.init(params)
         key = jax.random.PRNGKey(0)
 
-        z = sample_fn(params, batch, key, jnp.asarray(0), jnp.asarray(0))
-        jax.block_until_ready(z)
-        params, opt_state, aux = grad_fn(
-            params, opt_state, batch, mesh_state, z, key,
-            jnp.asarray(0), jnp.asarray(0))
-        jax.block_until_ready(aux["loss"])
+        try:
+            z = sample_fn(params, batch, key, jnp.asarray(0), jnp.asarray(0))
+            jax.block_until_ready(z)
+            params, opt_state, aux = grad_fn(
+                params, opt_state, batch, mesh_state, z, key,
+                jnp.asarray(0), jnp.asarray(0))
+            jax.block_until_ready(aux["loss"])
+        except Exception as e:  # e.g. HBM OOM at the largest shapes
+            failed.append({"rays": rays, "error": str(e)[:120]})
+            continue
 
         if flops_per_step is None:
             # analytic flops from XLA's cost model (both stages)
@@ -147,7 +152,15 @@ def main():
                 flops_per_ray = (c1.get("flops", 0) + c2.get("flops", 0)) / rays
             except Exception:
                 flops_per_ray = None
+        # Timing notes for the tunneled TPU backend: block_until_ready is the
+        # sync (cheap; matches profiler device spans when healthy), but it
+        # has been seen returning early when the tunnel degrades.  A single
+        # scalar fetch costs up to ~1 s of tunnel round-trip, so it cannot be
+        # used per iteration; instead ONE timed drain at the end validates
+        # the loop: if the drain took longer than the entire "measured" loop,
+        # the block_until_readys were lies and the run aborts.
         t_s = t_g = 0.0
+        t_all = time.time()
         for i in range(iters):
             key, k1, k2 = jax.random.split(key, 3)
             ta = time.time()
@@ -160,7 +173,17 @@ def main():
             jax.block_until_ready(aux["loss"])
             t_g += time.time() - tb
             t_s += tb - ta
-        dt = (t_s + t_g) / iters
+        loop_wall = time.time() - t_all
+        t_drain = time.time()
+        last_loss = float(aux["loss"])  # true device drain + one RTT
+        drain_wall = time.time() - t_drain
+        assert np.isfinite(last_loss), last_loss
+        if drain_wall > max(loop_wall, 2.0):
+            raise RuntimeError(
+                f"sync was unreliable: drain {drain_wall:.1f}s > loop "
+                f"{loop_wall:.1f}s — rerun when the TPU tunnel is healthy"
+            )
+        dt = loop_wall / iters
         grid.append({
             "rays": rays,
             "rays_per_s": round(rays / dt, 1),
@@ -168,6 +191,12 @@ def main():
             "grad_ms": round(1e3 * t_g / iters, 1),
         })
 
+    if not grid:
+        print(json.dumps({
+            "metric": "train_rays_per_sec_per_chip", "value": 0.0,
+            "unit": "rays/s", "vs_baseline": 0.0, "error": failed,
+        }))
+        return
     best = max(grid, key=lambda g: g["rays_per_s"])
     mfu = None
     if flops_per_ray:
@@ -183,6 +212,7 @@ def main():
         "device": kind,
         "mfu_estimate": mfu,
         "flops_per_ray": round(flops_per_ray) if flops_per_ray else None,
+        "skipped_shapes": failed or None,
     }))
 
 

@@ -222,11 +222,16 @@ def object_mesh_state_from_mesh(vertices: np.ndarray, faces: np.ndarray) -> dict
     from ..utils.mesh import decimate_mesh
 
     if faces.shape[0] > OBJ_MESH_MAX_F or vertices.shape[0] > 8192:
-        m = decimate_mesh(vertices, faces, OBJ_MESH_MAX_F // 2)
+        # vertex-clustering can overshoot its face target, so walk the
+        # target down until the vertex set fits the fixed bound buffer
+        target = OBJ_MESH_MAX_F // 2
+        for _ in range(8):
+            m = decimate_mesh(vertices, faces, target)
+            if m.vertices.shape[0] <= 8192:
+                break
+            target = max(int(target * 0.55), 500)
         vertices, faces = m.vertices, m.faces
-        if vertices.shape[0] > 8192:  # extreme fallback
-            m = decimate_mesh(vertices, faces, 8000)
-            vertices, faces = m.vertices, m.faces
+        assert vertices.shape[0] <= 8192, vertices.shape
     tri = np.full((OBJ_MESH_MAX_F, 3, 3), PAD_FAR, np.float32)
     F = min(faces.shape[0], OBJ_MESH_MAX_F)
     tri[:F] = vertices[faces[:F]]

@@ -26,11 +26,9 @@ import numpy as np
 from ..mano.server import ManoServerState, mano_server_forward
 from ..ops.knn import (
     knn_blend_weights,
-    knn_blend_weights_t,
+    knn_inverse_warp,
     skinning,
     skinning_jacobian,
-    skinning_jacobian_inv_t,
-    skinning_t,
 )
 from ..render.ray_sampler import SamplerConfig, error_bound_z_vals
 from ..utils.transforms import inverse_mat3, safe_norm
@@ -143,10 +141,11 @@ def mano_node_forward(
     )
 
     def inverse_warp(pts_bps):  # (B, P*S, 3) deformed -> canonical
-        w_t, outlier = knn_blend_weights_t(
-            pts_bps, verts_posed, skin_w, K=plans.knn_k, max_dist=plans.max_dist
+        # sampler-only path (stop-gradient): fused single-kernel warp
+        return knn_inverse_warp(
+            pts_bps, verts_posed, skin_w, tfs,
+            K=plans.knn_k, max_dist=plans.max_dist,
         )
-        return skinning_t(pts_bps, w_t, tfs, inverse=True), outlier
 
     def sdf_at(pts_flat_c, n_pts):  # canonical points (N, 3) -> (N, 1+F)
         cond = _flat_per_point(cond_pose, n_pts // B)
@@ -174,23 +173,29 @@ def mano_node_forward(
     N_pts = B * P * S_f
 
     # KNN weights against the per-frame POSED verts (stop-gradient contract);
-    # points-minor pallas kernel + skinning keep the per-point affine algebra
-    # on full-lane (B, P) planes (see ops/knn.py "Points-minor LBS warps")
-    w_d_t, outlier = knn_blend_weights_t(
+    # efficient batched pallas shape, outside the remat region so it is
+    # never recomputed.  NOTE on layouts: points-minor (transposed) variants
+    # of this path were tried and traced SLOWER end-to-end — XLA lays any
+    # sliced component axis on the 128-lane dim whichever way the tensors
+    # are oriented; the einsum forms below are the measured optimum short of
+    # fusing the whole warp into the KNN kernel.
+    w_d, outlier = knn_blend_weights(
         pts, verts_posed, skin_w, K=plans.knn_k, max_dist=plans.max_dist
     )
 
     # inverse LBS warp at full width: elementwise chains — safe fusions
-    x_c = skinning_t(pts, w_d_t, tfs, inverse=True)  # (B, P*S, 3)
+    x_c = skinning(pts, w_d, tfs, inverse=True)  # (B, P*S, 3)
     x_c_flat = x_c.reshape(-1, 3)
 
     # forward-skinning Jacobian at canonical points: weights queried against
     # the CANONICAL verts (deformer.py:70-82), batched pallas call
-    w_cano_t, _ = knn_blend_weights_t(
+    w_cano, _ = knn_blend_weights(
         x_c, jnp.broadcast_to(server.verts_c, (B,) + server.verts_c.shape[1:]),
         skin_w, K=plans.knn_k, max_dist=plans.max_dist,
     )
-    Jinv9 = skinning_jacobian_inv_t(w_cano_t, tfs).reshape(-1, 9)
+    Jinv9 = inverse_mat3(
+        skinning_jacobian(w_cano, tfs).reshape(-1, 3, 3)
+    ).reshape(-1, 9)
 
     cond_pp = _flat_per_point(cond_pose, P * S_f)
     view = -jnp.broadcast_to(
@@ -432,10 +437,10 @@ def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
     def sampler_sdf(pts_RS3):
         S = pts_RS3.shape[1]
         pts = pts_RS3.reshape(B, P * S, 3)
-        w_t, _ = knn_blend_weights_t(
-            pts, verts_posed, skin_w, K=plans.knn_k, max_dist=plans.max_dist
+        x_c, _ = knn_inverse_warp(
+            pts, verts_posed, skin_w, tfs,
+            K=plans.knn_k, max_dist=plans.max_dist,
         )
-        x_c = skinning_t(pts, w_t, tfs, inverse=True)
         cond = _flat_per_point(cond_pose, P * S)
         # trunk + width-1 SDF head: the sampler never needs the 256-wide
         # feature head, and slicing it off explicitly keeps the (N, 257)

@@ -314,6 +314,134 @@ def skinning_jacobian(w: jnp.ndarray, tfs: jnp.ndarray) -> jnp.ndarray:
 
 
 # --------------------------------------------------------------------------
+# Fused sampler warp: KNN + weight blend + inverse-LBS in ONE kernel
+# --------------------------------------------------------------------------
+#
+# The sampler's deformed->canonical warp is stop-gradient (z tables carry no
+# grad), so it can run as a single non-differentiable Pallas kernel: the
+# (Vp, T) distance tile, the blended weights, the 12 affine planes, and the
+# adjugate inverse all stay in VMEM.  This removes the XLA-side per-point
+# affine algebra whose layouts kept degenerating (every orientation of a
+# sliced component axis was materialized on the 128-lane dim).
+
+def _knn_warp_kernel(pts_ref, verts_ref, vsq_ref, psq_ref, w_ref, tf_ref,
+                     out_ref, *, K):
+    pts = pts_ref[:]  # (T, 8) xyz padded
+    verts = verts_ref[:]  # (Vp, 8)
+    cross = jax.lax.dot_general(
+        verts, pts, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Vp, T)
+    d2 = jnp.maximum(vsq_ref[:] + psq_ref[:] - 2.0 * cross, 0.0)
+    d2c = jnp.minimum(d2, _CLAMP)
+
+    BIG = jnp.float32(1e9)
+    work = d2
+    first_min = jnp.min(work, axis=0, keepdims=True)  # (1, T)
+    kth = first_min
+    for _ in range(K - 1):
+        work = jnp.where(work <= kth, BIG, work)
+        kth = jnp.min(work, axis=0, keepdims=True)
+    conf = jnp.where(d2 <= kth, jnp.exp(-d2c), 0.0)
+    conf = conf / jnp.sum(conf, axis=0, keepdims=True)
+
+    wb = jax.lax.dot_general(
+        w_ref[:], conf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Jp, T) blended skinning weights
+    A = jax.lax.dot_general(
+        tf_ref[:], wb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (16, T): rows c = 4*i + m of sum_j w_j T_j (last 4 rows unused)
+
+    r = [A[4 * i + m : 4 * i + m + 1] for i in range(3) for m in range(3)]
+    t = [A[4 * i + 3 : 4 * i + 4] for i in range(3)]
+    inv = _inv3_planes(r)
+
+    # xyz rows (3, T) via a tiny selector dot — avoids an in-kernel transpose
+    sel = jax.lax.broadcasted_iota(jnp.int32, (3, 8), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (3, 8), 1)
+    E3 = (sel == col).astype(jnp.float32)  # (3, 8) identity selector
+    xyz = jax.lax.dot_general(
+        E3, pts, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (3, T)
+    diff = [xyz[m : m + 1] - t[m] for m in range(3)]
+    xc = [
+        sum(inv[3 * i + m] * diff[m] for m in range(3)) for i in range(3)
+    ]  # 3 x (1, T)
+
+    dist = jnp.sqrt(jnp.minimum(first_min, _CLAMP))
+    zero = jnp.zeros_like(dist)
+    out_ref[:] = jnp.concatenate(
+        xc + [dist, zero, zero, zero, zero], axis=0
+    )  # (8, T)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "max_dist", "interpret"))
+def _knn_warp_single(pts, verts, skin_weights, tfs, K, max_dist,
+                     interpret=False):
+    """(P,3),(V,3),(V,J),(J,4,4) -> (x_c (P,3), outlier (P,))."""
+    P, V, J = pts.shape[0], verts.shape[0], skin_weights.shape[1]
+    T = 512
+    Pp = _round_up(P, T)
+    Vp = _round_up(V, 128)
+    Jp = _round_up(J, 8)
+
+    pts_pad = jnp.zeros((Pp, 8), jnp.float32).at[:P, :3].set(pts)
+    verts_pad = jnp.zeros((Vp, 8), jnp.float32).at[:V, :3].set(verts)
+    vsq = jnp.full((Vp, 1), 1e9, jnp.float32).at[:V, 0].set(
+        jnp.sum(verts * verts, axis=-1)
+    )
+    psq = jnp.zeros((1, Pp), jnp.float32).at[0, :P].set(
+        jnp.sum(pts * pts, axis=-1)
+    )
+    w_pad = jnp.zeros((Vp, Jp), jnp.float32).at[:V, :J].set(skin_weights)
+    # (16, Jp): row c = tfs[:, c//4, c%4]
+    tf16 = jnp.zeros((16, Jp), jnp.float32).at[:, :J].set(
+        tfs.reshape(J, 16).T
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_knn_warp_kernel, K=K),
+        grid=(Pp // T,),
+        in_specs=[
+            pl.BlockSpec((T, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vp, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vp, Jp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, Jp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, T), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, Pp), jnp.float32),
+        interpret=interpret,
+    )(pts_pad, verts_pad, vsq, psq, w_pad, tf16)
+    x_c = jnp.swapaxes(out[:3, :P], 0, 1)
+    return x_c, out[3, :P] > max_dist
+
+
+def knn_inverse_warp(pts, verts, skin_weights, tfs, K=15, max_dist=0.1,
+                     interpret=False):
+    """Fused deformed->canonical warp for the sampler (stop-gradient path).
+
+    pts (B,P,3), verts (B,V,3), skin_weights (B,V,J), tfs (B,J,4,4) ->
+    (x_c (B,P,3), outlier (B,P)).  TPU: one fused Pallas kernel per batch
+    element; elsewhere: the XLA KNN + skinning composition."""
+    if jax.devices()[0].platform == "tpu" or interpret:
+        pts = jax.lax.stop_gradient(pts)
+        verts = jax.lax.stop_gradient(verts)
+        skin_weights = jax.lax.stop_gradient(skin_weights)
+        tfs = jax.lax.stop_gradient(tfs)
+
+        def one(p, v, w, tf):
+            return _knn_warp_single(p, v, w, tf, K, max_dist, interpret)
+
+        return jax.vmap(one)(pts, verts, skin_weights, tfs)
+    w, outlier = knn_blend_weights_xla(pts, verts, skin_weights, K, max_dist)
+    return skinning(pts, w, tfs, inverse=True), outlier
+
+
+# --------------------------------------------------------------------------
 # Points-minor LBS warps
 # --------------------------------------------------------------------------
 #
@@ -323,19 +451,23 @@ def skinning_jacobian(w: jnp.ndarray, tfs: jnp.ndarray) -> jnp.ndarray:
 # (8, 128) with massive padding.  The blend itself becomes one MXU matmul
 # (M=12, K=J, N=P) and the affine inverse ~30 full-lane VPU ops.
 
-def _blend_tfs_t(w_t: jnp.ndarray, tfs: jnp.ndarray) -> jnp.ndarray:
-    """(B,J,P),(B,J,4,4) -> (12,B,P): rows of sum_j w_j T_j, c = 4*i + m.
+def _blend_tfs_t(w_t: jnp.ndarray, tfs: jnp.ndarray) -> list:
+    """(B,J,P),(B,J,4,4) -> 12 planes (B,P): rows of sum_j w_j T_j, c=4*i+m.
 
-    The component axis LEADS the result: slicing a leading dim is a free
-    contiguous view, whereas slicing the middle of a (B,12,P) dot output
-    made XLA materialize each plane as (B,1,P) with the singleton on the
-    128-lane dim (traced at ~5.6 ms per slice fusion)."""
+    Each plane is its OWN batched matvec dot — never a slice of a packed
+    (12, B, P) array.  Slicing a component axis of any size-12 tensor made
+    XLA lay the sliced singleton on the 128-lane dim (~5.6 ms per plane
+    fusion at bench shapes, whichever axis order was used); independent
+    (B, P) dots get clean full-lane layouts.  The 12x re-read of w_t is
+    ~0.4 ms of HBM — an order of magnitude cheaper."""
     flat = tfs[..., :3, :].reshape(tfs.shape[0], tfs.shape[1], 12)
-    out = jax.lax.dot_general(
-        flat, w_t, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (B, 12, P)
-    return jnp.moveaxis(out, 1, 0)  # (12, B, P)
+    return [
+        jax.lax.dot_general(
+            flat[:, :, c], w_t, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        for c in range(12)
+    ]
 
 
 def _inv3_planes(m):
@@ -360,11 +492,10 @@ def skinning_t(x: jnp.ndarray, w_t: jnp.ndarray, tfs: jnp.ndarray,
                inverse: bool = False) -> jnp.ndarray:
     """Blend-skin points, points-minor internals. x (B,P,3), w_t (B,J,P),
     tfs (B,J,4,4) -> (B,P,3).  Matches skinning() with w = w_t^T."""
-    A = _blend_tfs_t(w_t, tfs)  # (12, B, P)
-    xt = jnp.moveaxis(x, 2, 0)  # (3, B, P)
+    A = _blend_tfs_t(w_t, tfs)  # 12 planes (B, P)
     R = [A[4 * i + m] for i in range(3) for m in range(3)]  # 9 x (B, P)
     t = [A[4 * i + 3] for i in range(3)]
-    xs = [xt[m] for m in range(3)]
+    xs = [x[..., m] for m in range(3)]
     if inverse:
         Rinv = _inv3_planes(R)
         diff = [xs[m] - t[m] for m in range(3)]
@@ -383,7 +514,7 @@ def skinning_jacobian_inv_t(w_t: jnp.ndarray, tfs: jnp.ndarray) -> jnp.ndarray:
     """(sum_j w_j R_j)^-1 as (B,P,9) row-major — the inverse forward-skinning
     Jacobian consumed by the shading normal transform.  Points-minor algebra,
     transposed once at the end for the (N, 9) chunked shading input."""
-    A = _blend_tfs_t(w_t, tfs)  # (12, B, P)
+    A = _blend_tfs_t(w_t, tfs)  # 12 planes (B, P)
     R = [A[4 * i + m] for i in range(3) for m in range(3)]
     Rinv = _inv3_planes(R)  # 9 x (B, P)
     return jnp.stack(Rinv, axis=-1)  # (B, P, 9)

@@ -54,42 +54,64 @@ def merge_factors(factors_list: list[dict], num_nodes: int | None = None) -> dic
     z_cat = jnp.concatenate([f["z_vals"] for f in factors_list], axis=1)
     R, S = z_cat.shape
 
-    # sort ONLY (z, iota) to get the depth permutation, then reorder every
-    # factor channel with one one-hot batched matmul.  A variadic sort that
-    # carries the channels as payloads is fine forward, but its BACKWARD
-    # emits one SCATTER per payload (traced at ~1.7ms each per train step);
-    # the permutation matmul's backward is just the transposed matmul.  The
-    # permutation itself is a function of (stop-gradient) depth ordering, so
-    # routing payload gradients through a fixed permutation matches
-    # torch.sort's backward semantics in the reference.
-    iota = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (R, S))
-    _, perm = jax.lax.sort(
-        (jax.lax.stop_gradient(z_cat), iota), dimension=1, num_keys=1
-    )
-    onehot = (
-        perm[:, :, None] == jnp.arange(S, dtype=jnp.int32)[None, None, :]
-    ).astype(z_cat.dtype)  # (R, S_out, S_in); fuses into the dot
+    if R * S * S <= 2 ** 28:
+        # sort ONLY (z, iota) to get the depth permutation, then reorder
+        # every factor channel with one one-hot batched matmul.  A variadic
+        # sort that carries the channels as payloads is fine forward, but
+        # its BACKWARD emits one SCATTER per payload (traced at ~1.7ms each
+        # per train step); the permutation matmul's backward is just the
+        # transposed matmul.  The permutation is a function of
+        # (stop-gradient) depth ordering, so routing payload gradients
+        # through a fixed permutation matches torch.sort's backward
+        # semantics in the reference.
+        iota = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (R, S))
+        _, perm = jax.lax.sort(
+            (jax.lax.stop_gradient(z_cat), iota), dimension=1, num_keys=1
+        )
+        onehot = (
+            perm[:, :, None] == jnp.arange(S, dtype=jnp.int32)[None, None, :]
+        ).astype(z_cat.dtype)  # (R, S_out, S_in); fuses into the dot
 
-    payload = [z_cat[:, :, None]]
-    chans = [("z_vals", 0, 1)]
-    for k in factors_list[0]:
-        if k == "z_vals":
-            continue
-        cat = jnp.concatenate([f[k] for f in factors_list], axis=1)
-        payload.append(cat)
-        chans.append((k, len(payload) - 1, cat.shape[-1]))
-    pay = jnp.concatenate(payload, axis=-1)  # (R, S, C_total)
-    sorted_pay = jax.lax.dot_general(
-        onehot, pay, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (R, S, C_total)
+        payload = [z_cat[:, :, None]]
+        chans = [("z_vals", 0, 1)]
+        for k in factors_list[0]:
+            if k == "z_vals":
+                continue
+            cat = jnp.concatenate([f[k] for f in factors_list], axis=1)
+            payload.append(cat)
+            chans.append((k, len(payload) - 1, cat.shape[-1]))
+        pay = jnp.concatenate(payload, axis=-1)  # (R, S, C_total)
+        sorted_pay = jax.lax.dot_general(
+            onehot, pay, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (R, S, C_total)
 
-    out = {}
-    off = 1
-    z_sorted = sorted_pay[..., 0]
-    for k, _, C in chans[1:]:
-        out[k] = sorted_pay[..., off:off + C]
-        off += C
+        out = {}
+        off = 1
+        z_sorted = sorted_pay[..., 0]
+        for k, _, C in chans[1:]:
+            out[k] = sorted_pay[..., off:off + C]
+            off += C
+    else:
+        # very large ray batches: the (R, S, S) one-hot would dominate HBM
+        # (3+ GB at 20k rays) — fall back to the variadic payload sort
+        chans = []
+        ops = [z_cat]
+        for k in factors_list[0]:
+            if k == "z_vals":
+                continue
+            cat = jnp.concatenate([f[k] for f in factors_list], axis=1)
+            for c in range(cat.shape[-1]):
+                chans.append((k, c, cat.shape[-1]))
+                ops.append(cat[:, :, c])
+        sorted_ops = jax.lax.sort(tuple(ops), dimension=1, num_keys=1)
+        z_sorted = sorted_ops[0]
+        out = {}
+        gathered: dict = {}
+        for (k, c, C), arr in zip(chans, sorted_ops[1:]):
+            gathered.setdefault(k, [None] * C)[c] = arr
+        for k, cols in gathered.items():
+            out[k] = jnp.stack(cols, axis=-1)
 
     if num_nodes > 1:
         sl = slice(num_nodes - 1, -num_nodes)

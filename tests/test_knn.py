@@ -152,3 +152,29 @@ def test_skinning_jacobian_matches_autodiff():
         )
     )(x, w)
     np.testing.assert_allclose(J_closed, jac, atol=1e-5)
+
+
+def test_fused_inverse_warp_matches_composition():
+    from hold_tpu.ops.knn import knn_inverse_warp
+    from hold_tpu.utils.rot import axis_angle_to_matrix
+
+    rng = np.random.RandomState(9)
+    B, P, V, J = 2, 70, 60, 16
+    pts = jnp.asarray(rng.randn(B, P, 3) * 0.1, jnp.float32)
+    verts = jnp.asarray(rng.randn(B, V, 3) * 0.1, jnp.float32)
+    w = rng.rand(B, V, J).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+    w = jnp.asarray(w)
+    aa = jnp.asarray(rng.randn(B, J, 3) * 0.3, jnp.float32)
+    tfs = jnp.zeros((B, J, 4, 4))
+    tfs = tfs.at[..., :3, :3].set(axis_angle_to_matrix(aa))
+    tfs = tfs.at[..., :3, 3].set(
+        jnp.asarray(rng.randn(B, J, 3) * 0.1, jnp.float32))
+    tfs = tfs.at[..., 3, 3].set(1.0)
+
+    wx, mx = knn_blend_weights_xla(pts, verts, w, K=7, max_dist=0.08)
+    ref = skinning(pts, wx, tfs, inverse=True)
+    got, m = knn_inverse_warp(pts, verts, w, tfs, K=7, max_dist=0.08,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(mx))
