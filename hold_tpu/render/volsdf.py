@@ -7,8 +7,39 @@ with static shapes and sort/gather patterns XLA vectorises on TPU.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+
+@jax.custom_vjp
+def _sort_payloads(z, *payloads):
+    """Variadic depth sort of (R, S) channels keyed by z; returns
+    (z_sorted, perm, *payloads_sorted) with perm the applied permutation."""
+    R, S = z.shape
+    iota = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (R, S))
+    return jax.lax.sort((z, iota) + payloads, dimension=1, num_keys=1)
+
+
+def _sort_payloads_fwd(z, *payloads):
+    out = _sort_payloads(z, *payloads)
+    return out, out[1]  # save the permutation
+
+
+def _sort_payloads_bwd(perm, cots):
+    """Scatter-free backward: sorting the cotangents BY the saved permutation
+    indices applies the inverse permutation (perm holds values 0..S-1, so
+    sorting by it restores input order).  XLA's native backward for a
+    payload-carrying sort emits one SCATTER per payload — traced at ~13 ms
+    each at 10k rays; this inverse-sort costs the same ~2 ms as the forward
+    sort."""
+    gz, _, *gpay = cots
+    back = jax.lax.sort((perm, gz) + tuple(gpay), dimension=1, num_keys=1)
+    return (back[1],) + tuple(back[2:])
+
+
+_sort_payloads.defvjp(_sort_payloads_fwd, _sort_payloads_bwd)
 
 
 def density2weight(density: jnp.ndarray, z_vals: jnp.ndarray, z_max: jnp.ndarray):
@@ -52,66 +83,29 @@ def merge_factors(factors_list: list[dict], num_nodes: int | None = None) -> dic
     if num_nodes is None:
         num_nodes = len(factors_list)
     z_cat = jnp.concatenate([f["z_vals"] for f in factors_list], axis=1)
-    R, S = z_cat.shape
 
-    if R * S * S <= 2 ** 28:
-        # sort ONLY (z, iota) to get the depth permutation, then reorder
-        # every factor channel with one one-hot batched matmul.  A variadic
-        # sort that carries the channels as payloads is fine forward, but
-        # its BACKWARD emits one SCATTER per payload (traced at ~1.7ms each
-        # per train step); the permutation matmul's backward is just the
-        # transposed matmul.  The permutation is a function of
-        # (stop-gradient) depth ordering, so routing payload gradients
-        # through a fixed permutation matches torch.sort's backward
-        # semantics in the reference.
-        iota = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (R, S))
-        _, perm = jax.lax.sort(
-            (jax.lax.stop_gradient(z_cat), iota), dimension=1, num_keys=1
-        )
-        onehot = (
-            perm[:, :, None] == jnp.arange(S, dtype=jnp.int32)[None, None, :]
-        ).astype(z_cat.dtype)  # (R, S_out, S_in); fuses into the dot
-
-        payload = [z_cat[:, :, None]]
-        chans = [("z_vals", 0, 1)]
-        for k in factors_list[0]:
-            if k == "z_vals":
-                continue
-            cat = jnp.concatenate([f[k] for f in factors_list], axis=1)
-            payload.append(cat)
-            chans.append((k, len(payload) - 1, cat.shape[-1]))
-        pay = jnp.concatenate(payload, axis=-1)  # (R, S, C_total)
-        sorted_pay = jax.lax.dot_general(
-            onehot, pay, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (R, S, C_total)
-
-        out = {}
-        off = 1
-        z_sorted = sorted_pay[..., 0]
-        for k, _, C in chans[1:]:
-            out[k] = sorted_pay[..., off:off + C]
-            off += C
-    else:
-        # very large ray batches: the (R, S, S) one-hot would dominate HBM
-        # (3+ GB at 20k rays) — fall back to the variadic payload sort
-        chans = []
-        ops = [z_cat]
-        for k in factors_list[0]:
-            if k == "z_vals":
-                continue
-            cat = jnp.concatenate([f[k] for f in factors_list], axis=1)
-            for c in range(cat.shape[-1]):
-                chans.append((k, c, cat.shape[-1]))
-                ops.append(cat[:, :, c])
-        sorted_ops = jax.lax.sort(tuple(ops), dimension=1, num_keys=1)
-        z_sorted = sorted_ops[0]
-        out = {}
-        gathered: dict = {}
-        for (k, c, C), arr in zip(chans, sorted_ops[1:]):
-            gathered.setdefault(k, [None] * C)[c] = arr
-        for k, cols in gathered.items():
-            out[k] = jnp.stack(cols, axis=-1)
+    # one variadic sort carries every factor channel as a payload — far
+    # cheaper on TPU than argsort + per-channel take_along_axis gathers —
+    # wrapped in the scatter-free custom VJP above (a one-hot permutation
+    # matmul was also tried: comparable forward, but its (R, S, S) one-hot
+    # is 3+ GB at 20k rays)
+    chans = []
+    ops = []
+    for k in factors_list[0]:
+        if k == "z_vals":
+            continue
+        cat = jnp.concatenate([f[k] for f in factors_list], axis=1)
+        for c in range(cat.shape[-1]):
+            chans.append((k, c, cat.shape[-1]))
+            ops.append(cat[:, :, c])
+    sorted_ops = _sort_payloads(z_cat, *ops)
+    z_sorted = sorted_ops[0]
+    out = {}
+    gathered: dict = {}
+    for (k, c, C), arr in zip(chans, sorted_ops[2:]):
+        gathered.setdefault(k, [None] * C)[c] = arr
+    for k, cols in gathered.items():
+        out[k] = jnp.stack(cols, axis=-1)
 
     if num_nodes > 1:
         sl = slice(num_nodes - 1, -num_nodes)

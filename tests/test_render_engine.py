@@ -189,3 +189,38 @@ def test_min_vertex_dist_pallas_matches_xla():
     a = min_vertex_dist(pts, verts)
     b = min_vertex_dist_pallas(pts, verts, interpret=True)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_merge_factors_gradient_matches_numeric():
+    """The scatter-free custom VJP of the depth sort must match finite
+    differences (the backward inverts the permutation by re-sorting)."""
+    from hold_tpu.render.volsdf import merge_factors
+
+    R, S1, S2 = 7, 9, 11
+
+    def mk(S, seed):
+        r = np.random.RandomState(seed)
+        return {
+            "z_vals": jnp.asarray(np.sort(r.rand(R, S), 1), jnp.float32),
+            "color": jnp.asarray(r.rand(R, S, 3), jnp.float32),
+            "density": jnp.asarray(r.rand(R, S, 1), jnp.float32),
+        }
+
+    f1, f2 = mk(S1, 1), mk(S2, 2)
+
+    def loss(c1, c2):
+        g1 = dict(f1); g1["color"] = c1
+        g2 = dict(f2); g2["color"] = c2
+        m = merge_factors([g1, g2])
+        return (jnp.sum(m["color"] ** 2 * m["density"])
+                + jnp.sum(m["z_vals"] * 0.1))
+
+    g = jax.grad(loss, argnums=(0, 1))(f1["color"], f2["color"])
+    eps = 1e-3
+    for idx in [(3, 4, 1), (0, 0, 0), (6, 8, 2)]:
+        c1 = np.asarray(f1["color"]).copy()
+        c1p = c1.copy(); c1p[idx] += eps
+        c1m = c1.copy(); c1m[idx] -= eps
+        num = (loss(jnp.asarray(c1p), f2["color"])
+               - loss(jnp.asarray(c1m), f2["color"])) / (2 * eps)
+        assert abs(float(g[0][idx]) - float(num)) < 1e-2, idx
