@@ -27,6 +27,8 @@ from ..mano.server import ManoServerState, mano_server_forward
 from ..ops.knn import (
     knn_blend_weights,
     knn_inverse_warp,
+    knn_inverse_warp_diff,
+    knn_jacobian_inverse,
     skinning,
     skinning_jacobian,
 )
@@ -172,29 +174,21 @@ def mano_node_forward(
     pts = points.reshape(B, P * S_f, 3)
     N_pts = B * P * S_f
 
-    # KNN weights against the per-frame POSED verts (stop-gradient contract);
-    # efficient batched pallas shape, outside the remat region so it is
-    # never recomputed.  NOTE on layouts: points-minor (transposed) variants
-    # of this path were tried and traced SLOWER end-to-end — XLA lays any
-    # sliced component axis on the 128-lane dim whichever way the tensors
-    # are oriented; the einsum forms below are the measured optimum short of
-    # fusing the whole warp into the KNN kernel.
-    w_d, outlier = knn_blend_weights(
-        pts, verts_posed, skin_w, K=plans.knn_k, max_dist=plans.max_dist
+    # deformed -> canonical warp, fused into one differentiable Pallas kernel
+    # (KNN against the per-frame POSED verts + weight blend + affine inverse
+    # + apply, with a closed-form Pallas VJP for pts/tfs — the per-point 3x3
+    # algebra never reaches XLA, where every layout orientation degenerated
+    # to 128-lane padded singleton slices)
+    x_c, outlier = knn_inverse_warp_diff(
+        pts, verts_posed, skin_w, tfs,
+        K=plans.knn_k, max_dist=plans.max_dist,
     )
-
-    # inverse LBS warp at full width: elementwise chains — safe fusions
-    x_c = skinning(pts, w_d, tfs, inverse=True)  # (B, P*S, 3)
     x_c_flat = x_c.reshape(-1, 3)
 
-    # forward-skinning Jacobian at canonical points: weights queried against
-    # the CANONICAL verts (deformer.py:70-82), batched pallas call
-    w_cano, _ = knn_blend_weights(
-        x_c, jnp.broadcast_to(server.verts_c, (B,) + server.verts_c.shape[1:]),
-        skin_w, K=plans.knn_k, max_dist=plans.max_dist,
-    )
-    Jinv9 = inverse_mat3(
-        skinning_jacobian(w_cano, tfs).reshape(-1, 3, 3)
+    # inverse forward-skinning Jacobian at canonical points: weights queried
+    # against the CANONICAL verts (deformer.py:70-82), same fused treatment
+    Jinv9 = knn_jacobian_inverse(
+        x_c, verts_c, skin_w, tfs, K=plans.knn_k,
     ).reshape(-1, 9)
 
     cond_pp = _flat_per_point(cond_pose, P * S_f)

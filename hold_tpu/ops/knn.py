@@ -442,6 +442,399 @@ def knn_inverse_warp(pts, verts, skin_weights, tfs, K=15, max_dist=0.1,
 
 
 # --------------------------------------------------------------------------
+# Differentiable fused warp (main forward): custom VJP, backward in Pallas
+# --------------------------------------------------------------------------
+#
+# The grad-stage warp needs gradients w.r.t. pts and tfs (pose learning), but
+# NOT w.r.t. the KNN weights (detached by contract, deformer.py:101).  That
+# makes the VJP closed-form:
+#   x_c = A^{-1}(x - t),  A = sum_j w_j R_j,  t = sum_j w_j t_j
+#   u       = A^{-T} g            (= dL/dx)
+#   dL/dA   = -u x_c^T,  dL/dt = -u
+#   dL/dtfs = sum_points w_blend (x) [dL/dA | dL/dt]   (one MXU contraction)
+# Both directions run as Pallas kernels, so the per-point 3x3 algebra never
+# materializes XLA-side (where every layout choice degenerated to 128-lane
+# padded singletons, ~95 ms/step at 10k rays).
+
+def _warp_fwd_kernel(pts_ref, verts_ref, vsq_ref, psq_ref, w_ref, tf_ref,
+                     out_ref, res_ref, wb_ref, *, K):
+    pts = pts_ref[:]
+    verts = verts_ref[:]
+    cross = jax.lax.dot_general(
+        verts, pts, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    d2 = jnp.maximum(vsq_ref[:] + psq_ref[:] - 2.0 * cross, 0.0)
+    d2c = jnp.minimum(d2, _CLAMP)
+    BIG = jnp.float32(1e9)
+    work = d2
+    first_min = jnp.min(work, axis=0, keepdims=True)
+    kth = first_min
+    for _ in range(K - 1):
+        work = jnp.where(work <= kth, BIG, work)
+        kth = jnp.min(work, axis=0, keepdims=True)
+    conf = jnp.where(d2 <= kth, jnp.exp(-d2c), 0.0)
+    conf = conf / jnp.sum(conf, axis=0, keepdims=True)
+    wb = jax.lax.dot_general(
+        w_ref[:], conf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Jp, T)
+    A = jax.lax.dot_general(
+        tf_ref[:], wb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (16, T)
+    r = [A[4 * i + m : 4 * i + m + 1] for i in range(3) for m in range(3)]
+    t = [A[4 * i + 3 : 4 * i + 4] for i in range(3)]
+    inv = _inv3_planes(r)
+    sel = jax.lax.broadcasted_iota(jnp.int32, (3, 8), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (3, 8), 1)
+    E3 = (sel == col).astype(jnp.float32)
+    xyz = jax.lax.dot_general(
+        E3, pts, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    diff = [xyz[m : m + 1] - t[m] for m in range(3)]
+    xc = [sum(inv[3 * i + m] * diff[m] for m in range(3)) for i in range(3)]
+    dist = jnp.sqrt(jnp.minimum(first_min, _CLAMP))
+    zero = jnp.zeros_like(dist)
+    out_ref[:] = jnp.concatenate(xc + [dist, zero, zero, zero, zero], axis=0)
+    res_ref[:] = jnp.concatenate(inv + t + [zero] * 4, axis=0)  # (16, T)
+    wb_ref[:] = wb
+
+
+def _warp_bwd_kernel(g_ref, res_ref, xc_ref, wb_ref, dpts_ref, dtf_ref):
+    i = pl.program_id(0)
+    g = [g_ref[m : m + 1] for m in range(3)]  # cotangent rows of x_c
+    inv = [res_ref[c : c + 1] for c in range(9)]
+    xc = [xc_ref[m : m + 1] for m in range(3)]
+    # u = A^{-T} g : u_i = sum_j Ainv[3j+i] g_j
+    u = [sum(inv[3 * j + i] * g[j] for j in range(3)) for i in range(3)]
+    zero = jnp.zeros_like(u[0])
+    dpts_ref[:] = jnp.concatenate(u + [zero] * 5, axis=0)  # (8, T)
+    # G rows (16, T): c = 4*i + m -> dL/dA_im = -u_i xc_m ; c = 4*i+3 -> -u_i
+    G_rows = []
+    for i3 in range(3):
+        for m in range(3):
+            G_rows.append(-u[i3] * xc[m])
+        G_rows.append(-u[i3])
+    G = jnp.concatenate(G_rows + [zero] * 4, axis=0)  # (16, T)
+    dtf = jax.lax.dot_general(
+        G, wb_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (16, Jp)
+
+    @pl.when(i == 0)
+    def _init():
+        dtf_ref[:] = dtf
+
+    @pl.when(i > 0)
+    def _acc():
+        dtf_ref[:] = dtf_ref[:] + dtf
+
+
+def _warp_diff_fwd_single(pts, verts, skin_weights, tfs, K, max_dist,
+                          interpret=False):
+    P, V, J = pts.shape[0], verts.shape[0], skin_weights.shape[1]
+    T = 512
+    Pp, Vp, Jp = _round_up(P, T), _round_up(V, 128), _round_up(J, 8)
+    pts_pad = jnp.zeros((Pp, 8), jnp.float32).at[:P, :3].set(pts)
+    verts_pad = jnp.zeros((Vp, 8), jnp.float32).at[:V, :3].set(verts)
+    vsq = jnp.full((Vp, 1), 1e9, jnp.float32).at[:V, 0].set(
+        jnp.sum(verts * verts, axis=-1))
+    psq = jnp.zeros((1, Pp), jnp.float32).at[0, :P].set(
+        jnp.sum(pts * pts, axis=-1))
+    w_pad = jnp.zeros((Vp, Jp), jnp.float32).at[:V, :J].set(skin_weights)
+    tf16 = jnp.zeros((16, Jp), jnp.float32).at[:, :J].set(tfs.reshape(J, 16).T)
+
+    out, res, wb = pl.pallas_call(
+        functools.partial(_warp_fwd_kernel, K=K),
+        grid=(Pp // T,),
+        in_specs=[
+            pl.BlockSpec((T, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vp, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vp, Jp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, Jp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((16, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((16, Pp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pts_pad, verts_pad, vsq, psq, w_pad, tf16)
+    x_c = jnp.swapaxes(out[:3, :P], 0, 1)
+    return (x_c, out[3, :P]), (out, res, wb)
+
+
+def _warp_diff_bwd_single(residuals, g_xc, J, interpret=False):
+    out, res, wb = residuals
+    Pp = out.shape[1]
+    P = g_xc.shape[0]
+    T = 512
+    Jp = wb.shape[0]
+    g8 = jnp.zeros((8, Pp), jnp.float32).at[:3, :P].set(
+        jnp.swapaxes(g_xc, 0, 1))
+    dpts8, dtf = pl.pallas_call(
+        _warp_bwd_kernel,
+        grid=(Pp // T,),
+        in_specs=[
+            pl.BlockSpec((8, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, Jp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((16, Jp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(g8, res, out, wb)
+    dpts = jnp.swapaxes(dpts8[:3, :P], 0, 1)  # (P, 3)
+    # rows c = 4*i + m -> dtfs[j, i, m]; bottom row of each 4x4 gets zero
+    dtfs = jnp.zeros((J, 4, 4), jnp.float32).at[:, :3, :].set(
+        jnp.swapaxes(dtf[:12, :J], 0, 1).reshape(J, 3, 4)
+    )
+    return dpts, dtfs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _knn_warp_diff_single(pts, verts, skin_weights, tfs, K, max_dist,
+                          interpret=False):
+    (x_c, dist), _ = _warp_diff_fwd_single(
+        pts, verts, skin_weights, tfs, K, max_dist, interpret)
+    return x_c, dist > max_dist
+
+
+def _knn_warp_diff_fwd(pts, verts, skin_weights, tfs, K, max_dist,
+                       interpret=False):
+    (x_c, dist), residuals = _warp_diff_fwd_single(
+        pts, verts, skin_weights, tfs, K, max_dist, interpret)
+    return (x_c, dist > max_dist), (residuals, verts, skin_weights)
+
+
+def _knn_warp_diff_bwd(K, max_dist, interpret, saved, cots):
+    residuals, verts, skin_weights = saved
+    g_xc, _ = cots  # outlier mask carries no tangent
+    J = skin_weights.shape[1]
+    dpts, dtfs = _warp_diff_bwd_single(residuals, g_xc, J, interpret)
+    # verts / skin weights are detached by contract
+    return dpts, jnp.zeros_like(verts), jnp.zeros_like(skin_weights), dtfs
+
+
+_knn_warp_diff_single.defvjp(_knn_warp_diff_fwd, _knn_warp_diff_bwd)
+
+
+def knn_inverse_warp_diff(pts, verts, skin_weights, tfs, K=15, max_dist=0.1,
+                          interpret=False):
+    """Differentiable fused warp for the main forward.
+
+    Same math as knn_inverse_warp, but with a closed-form custom VJP (also a
+    Pallas kernel) providing gradients w.r.t. ``pts`` and ``tfs``; ``verts``
+    and ``skin_weights`` are stop-gradient by the KNN detach contract."""
+    if jax.devices()[0].platform == "tpu" or interpret:
+        verts = jax.lax.stop_gradient(verts)
+        skin_weights = jax.lax.stop_gradient(skin_weights)
+
+        def one(p, v, w, tf):
+            return _knn_warp_diff_single(p, v, w, tf, K, max_dist, interpret)
+
+        return jax.vmap(one)(pts, verts, skin_weights, tfs)
+    w, outlier = knn_blend_weights_xla(pts, verts, skin_weights, K, max_dist)
+    return skinning(pts, w, tfs, inverse=True), outlier
+
+
+# --------------------------------------------------------------------------
+# Fused Jacobian-inverse (main forward): J^{-1} = (sum_j w_j R_j)^{-1}
+# --------------------------------------------------------------------------
+#
+# The shading normal transform needs the inverse forward-skinning Jacobian at
+# each canonical point, with KNN weights queried against the CANONICAL verts
+# (deformer.py:70-82).  Weights are detached, so the only gradient path is
+# tfs: d(A^{-1}) = -A^{-1} dA A^{-1}  =>  dL/dA = -A^{-T} G A^{-T},
+# dL/dtfs_rot = sum_points w_blend (x) dL/dA.
+
+def _jinv_fwd_kernel(pts_ref, verts_ref, vsq_ref, psq_ref, w_ref, tf_ref,
+                     out_ref, wb_ref, *, K):
+    pts = pts_ref[:]
+    verts = verts_ref[:]
+    cross = jax.lax.dot_general(
+        verts, pts, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    d2 = jnp.maximum(vsq_ref[:] + psq_ref[:] - 2.0 * cross, 0.0)
+    d2c = jnp.minimum(d2, _CLAMP)
+    BIG = jnp.float32(1e9)
+    work = d2
+    kth = jnp.min(work, axis=0, keepdims=True)
+    for _ in range(K - 1):
+        work = jnp.where(work <= kth, BIG, work)
+        kth = jnp.min(work, axis=0, keepdims=True)
+    conf = jnp.where(d2 <= kth, jnp.exp(-d2c), 0.0)
+    conf = conf / jnp.sum(conf, axis=0, keepdims=True)
+    wb = jax.lax.dot_general(
+        w_ref[:], conf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    A = jax.lax.dot_general(
+        tf_ref[:], wb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (16, T): rows c = 3*i + m hold R_im (9 used)
+    r = [A[3 * i + m : 3 * i + m + 1] for i in range(3) for m in range(3)]
+    inv = _inv3_planes(r)
+    zero = jnp.zeros_like(inv[0])
+    out_ref[:] = jnp.concatenate(inv + [zero] * 7, axis=0)  # (16, T)
+    wb_ref[:] = wb
+
+
+def _jinv_bwd_kernel(g_ref, inv_ref, wb_ref, dtf_ref):
+    i = pl.program_id(0)
+    G = [g_ref[c : c + 1] for c in range(9)]
+    inv = [inv_ref[c : c + 1] for c in range(9)]
+    # dL/dA = -A^{-T} G A^{-T}:  P_ik = sum_j inv[3j+i] G[3j+k];
+    # out_im = -sum_k P_ik inv[3m+k]
+    Pik = [
+        sum(inv[3 * j + i] * G[3 * j + k] for j in range(3))
+        for i in range(3) for k in range(3)
+    ]
+    rows = []
+    for i3 in range(3):
+        for m in range(3):
+            rows.append(
+                -sum(Pik[3 * i3 + k] * inv[3 * m + k] for k in range(3))
+            )
+    zero = jnp.zeros_like(rows[0])
+    dA = jnp.concatenate(rows + [zero] * 7, axis=0)  # (16, T)
+    dtf = jax.lax.dot_general(
+        dA, wb_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (16, Jp)
+
+    @pl.when(i == 0)
+    def _init():
+        dtf_ref[:] = dtf
+
+    @pl.when(i > 0)
+    def _acc():
+        dtf_ref[:] = dtf_ref[:] + dtf
+
+
+def _jinv_fwd_single(pts, verts, skin_weights, tfs, K, interpret=False):
+    P, V, J = pts.shape[0], verts.shape[0], skin_weights.shape[1]
+    T = 512
+    Pp, Vp, Jp = _round_up(P, T), _round_up(V, 128), _round_up(J, 8)
+    pts_pad = jnp.zeros((Pp, 8), jnp.float32).at[:P, :3].set(pts)
+    verts_pad = jnp.zeros((Vp, 8), jnp.float32).at[:V, :3].set(verts)
+    vsq = jnp.full((Vp, 1), 1e9, jnp.float32).at[:V, 0].set(
+        jnp.sum(verts * verts, axis=-1))
+    psq = jnp.zeros((1, Pp), jnp.float32).at[0, :P].set(
+        jnp.sum(pts * pts, axis=-1))
+    w_pad = jnp.zeros((Vp, Jp), jnp.float32).at[:V, :J].set(skin_weights)
+    # rows c = 3*i + m hold R[:, i, m]
+    tf9 = jnp.zeros((16, Jp), jnp.float32).at[:9, :J].set(
+        tfs[:, :3, :3].reshape(J, 9).T)
+
+    out, wb = pl.pallas_call(
+        functools.partial(_jinv_fwd_kernel, K=K),
+        grid=(Pp // T,),
+        in_specs=[
+            pl.BlockSpec((T, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vp, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vp, Jp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, Jp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((16, Pp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pts_pad, verts_pad, vsq, psq, w_pad, tf9)
+    jinv9 = jnp.swapaxes(out[:9, :P], 0, 1)  # (P, 9) row-major
+    return jinv9, (out, wb)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _knn_jinv_single(pts, verts, skin_weights, tfs, K, interpret=False):
+    jinv9, _ = _jinv_fwd_single(pts, verts, skin_weights, tfs, K, interpret)
+    return jinv9
+
+
+def _knn_jinv_fwd(pts, verts, skin_weights, tfs, K, interpret=False):
+    jinv9, res = _jinv_fwd_single(pts, verts, skin_weights, tfs, K, interpret)
+    return jinv9, (res, pts, verts, skin_weights)
+
+
+def _knn_jinv_bwd(K, interpret, saved, g):
+    (out, wb), pts, verts, skin_weights = saved
+    Pp = out.shape[1]
+    P = g.shape[0]
+    T = 512
+    Jp = wb.shape[0]
+    J = skin_weights.shape[1]
+    g16 = jnp.zeros((16, Pp), jnp.float32).at[:9, :P].set(
+        jnp.swapaxes(g, 0, 1))
+    dtf = pl.pallas_call(
+        _jinv_bwd_kernel,
+        grid=(Pp // T,),
+        in_specs=[
+            pl.BlockSpec((16, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, Jp), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, Jp), jnp.float32),
+        interpret=interpret,
+    )(g16, out, wb)
+    dtfs = jnp.zeros((J, 4, 4), jnp.float32).at[:, :3, :3].set(
+        jnp.swapaxes(dtf[:9, :J], 0, 1).reshape(J, 3, 3)
+    )
+    return (jnp.zeros_like(pts), jnp.zeros_like(verts),
+            jnp.zeros_like(skin_weights), dtfs)
+
+
+_knn_jinv_single.defvjp(_knn_jinv_fwd, _knn_jinv_bwd)
+
+
+def knn_jacobian_inverse(pts_c, verts_c, skin_weights, tfs, K=15,
+                         interpret=False):
+    """(B,P,3),(B,V,3),(B,V,J),(B,J,4,4) -> (B,P,9) row-major J^{-1}.
+
+    TPU: fused Pallas forward + closed-form Pallas VJP (gradient w.r.t. tfs
+    rotations only — weights and query points are detached by contract).
+    Elsewhere: XLA composition."""
+    if jax.devices()[0].platform == "tpu" or interpret:
+        pts_c = jax.lax.stop_gradient(pts_c)
+        verts_c = jax.lax.stop_gradient(verts_c)
+        skin_weights = jax.lax.stop_gradient(skin_weights)
+
+        def one(p, v, w, tf):
+            return _knn_jinv_single(p, v, w, tf, K, interpret)
+
+        return jax.vmap(one)(pts_c, verts_c, skin_weights, tfs)
+    from ..utils.transforms import inverse_mat3
+
+    w, _ = knn_blend_weights_xla(pts_c, verts_c, skin_weights, K)
+    B, P = pts_c.shape[:2]
+    return inverse_mat3(
+        skinning_jacobian(w, tfs).reshape(-1, 3, 3)
+    ).reshape(B, P, 9)
+
+
+# --------------------------------------------------------------------------
 # Points-minor LBS warps
 # --------------------------------------------------------------------------
 #

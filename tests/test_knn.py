@@ -178,3 +178,75 @@ def test_fused_inverse_warp_matches_composition():
                               interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
     np.testing.assert_array_equal(np.asarray(m), np.asarray(mx))
+
+
+def _rand_scene(seed, B=2, P=60, V=50, J=16):
+    from hold_tpu.utils.rot import axis_angle_to_matrix
+
+    rng = np.random.RandomState(seed)
+    pts = jnp.asarray(rng.randn(B, P, 3) * 0.1, jnp.float32)
+    verts = jnp.asarray(rng.randn(B, V, 3) * 0.1, jnp.float32)
+    w = rng.rand(B, V, J).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+    aa = jnp.asarray(rng.randn(B, J, 3) * 0.3, jnp.float32)
+    tfs = jnp.zeros((B, J, 4, 4))
+    tfs = tfs.at[..., :3, :3].set(axis_angle_to_matrix(aa))
+    tfs = tfs.at[..., :3, 3].set(
+        jnp.asarray(rng.randn(B, J, 3) * 0.1, jnp.float32))
+    tfs = tfs.at[..., 3, 3].set(1.0)
+    return pts, verts, jnp.asarray(w), tfs, rng
+
+
+def test_diff_warp_forward_and_vjp_match_xla():
+    from hold_tpu.ops.knn import knn_inverse_warp_diff
+
+    pts, verts, w, tfs, rng = _rand_scene(4)
+
+    def ref_fn(p, tf):
+        ww, m = knn_blend_weights_xla(p, verts, w, K=7, max_dist=0.08)
+        return skinning(p, ww, tf, inverse=True), m
+
+    def new_fn(p, tf):
+        return knn_inverse_warp_diff(p, verts, w, tf, K=7, max_dist=0.08,
+                                     interpret=True)
+
+    xr, mr = ref_fn(pts, tfs)
+    xn, mn = new_fn(pts, tfs)
+    np.testing.assert_allclose(np.asarray(xn), np.asarray(xr), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(mn), np.asarray(mr))
+
+    tgt = jnp.asarray(rng.randn(*xr.shape) * 0.05, jnp.float32)
+    gr = jax.grad(lambda p, tf: jnp.sum((ref_fn(p, tf)[0] - tgt) ** 2),
+                  argnums=(0, 1))(pts, tfs)
+    gn = jax.grad(lambda p, tf: jnp.sum((new_fn(p, tf)[0] - tgt) ** 2),
+                  argnums=(0, 1))(pts, tfs)
+    np.testing.assert_allclose(np.asarray(gn[0]), np.asarray(gr[0]),
+                               atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gn[1][..., :3, :]),
+                               np.asarray(gr[1][..., :3, :]),
+                               atol=3e-4, rtol=1e-3)
+
+
+def test_jacobian_inverse_kernel_and_vjp_match_xla():
+    from hold_tpu.ops.knn import knn_jacobian_inverse
+    from hold_tpu.utils.transforms import inverse_mat3
+
+    pts, verts, w, tfs, rng = _rand_scene(5)
+    B, P = pts.shape[:2]
+
+    def ref_fn(tf):
+        ww, _ = knn_blend_weights_xla(pts, verts, w, K=7)
+        return inverse_mat3(
+            skinning_jacobian(ww, tf).reshape(-1, 3, 3)).reshape(B, P, 9)
+
+    def new_fn(tf):
+        return knn_jacobian_inverse(pts, verts, w, tf, K=7, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(new_fn(tfs)),
+                               np.asarray(ref_fn(tfs)), atol=3e-5)
+    tgt = jnp.asarray(rng.randn(B, P, 9) * 0.05, jnp.float32)
+    gr = jax.grad(lambda tf: jnp.sum((ref_fn(tf) - tgt) ** 2))(tfs)
+    gn = jax.grad(lambda tf: jnp.sum((new_fn(tf) - tgt) ** 2))(tfs)
+    np.testing.assert_allclose(np.asarray(gn[..., :3, :3]),
+                               np.asarray(gr[..., :3, :3]),
+                               atol=5e-3, rtol=1e-3)
