@@ -44,12 +44,19 @@ def _weight_normalize(layer: dict) -> dict:
     return {"v": w, "g": g, "b": layer["b"]}
 
 
-def _apply_linear(layer: dict, x: jnp.ndarray) -> jnp.ndarray:
+def _apply_linear(layer: dict, x: jnp.ndarray,
+                  in_cols: int | None = None) -> jnp.ndarray:
     if "v" in layer:
         v, g = layer["v"], layer["g"]
         w = g * v / jnp.linalg.norm(v, axis=1, keepdims=True)
     else:
         w = layer["w"]
+    if in_cols is not None:
+        # caller guarantees inputs beyond in_cols are identically zero (the
+        # CVPR-zeroed 45-d pose conditioning) — drop those columns instead of
+        # materializing a per-point zeros block.  Must slice AFTER the
+        # weight-norm resolve: g normalizes over the FULL row.
+        w = w[:, :in_cols]
     # mixed-precision contract: bf16 params pull activations down to bf16 at
     # the layer boundary (embeddings/heads stay f32 at the call sites); f32
     # params leave dtypes untouched
@@ -186,18 +193,25 @@ def apply_implicit_trunk(
         embed = make_embedder(plan["embedding"], plan["multires"], *barf_cfg)
         x = embed(x, step)
     inp = x
-    if plan["cond"] != "none" and plan["cond_dim"] == 45 and cond is not None:
-        cond = cond * 0.0
+    # CVPR behaviour: the 45-d MANO pose conditioning is always zeroed
+    # (shape_net.py:104-106).  Rather than materialize a per-point zeros
+    # block and concatenate it, skip the concat and drop the matching
+    # layer-0 weight columns — mathematically identical (W @ [e; 0]).
+    zero_cond = plan["cond"] != "none" and plan["cond_dim"] == 45
     h = x
     for l in range(plan["num_layers"] - 2):
+        cols = None
         if plan["cond"] != "none" and l == 0 and plan["cond_dim"] > 0:
-            h = jnp.concatenate([h, cond.astype(h.dtype)], axis=-1)
+            if zero_cond:
+                cols = h.shape[-1]
+            else:
+                h = jnp.concatenate([h, cond.astype(h.dtype)], axis=-1)
         if l in plan["skip_in"]:
             # python-float divisor: a np scalar would promote bf16 -> f32
             h = jnp.concatenate(
                 [h, inp.astype(h.dtype)], axis=-1
             ) / float(np.sqrt(2))
-        h = _apply_linear(params["layers"][l], h)
+        h = _apply_linear(params["layers"][l], h, in_cols=cols)
         h = softplus100(h)
     return h
 
@@ -246,22 +260,23 @@ def apply_implicit_net(
         embed = make_embedder(plan["embedding"], plan["multires"], *barf_cfg)
         x = embed(x, step)
     inp = x
-
-    if plan["cond"] != "none" and plan["cond_dim"] > 0:
-        # CVPR behaviour: the 45-d MANO pose conditioning is always zeroed
-        # (shape_net.py:104-106) — the hand canonical SDF is pose-independent.
-        if plan["cond_dim"] == 45:
-            cond = cond * 0.0
+    # see apply_implicit_trunk: zeroed 45-d conditioning handled by dropping
+    # the matching layer-0 weight columns
+    zero_cond = plan["cond"] != "none" and plan["cond_dim"] == 45
 
     h = x
     for l in range(plan["num_layers"] - 1):
+        cols = None
         if plan["cond"] != "none" and l == 0 and plan["cond_dim"] > 0:
-            h = jnp.concatenate([h, cond.astype(h.dtype)], axis=-1)
+            if zero_cond:
+                cols = h.shape[-1]
+            else:
+                h = jnp.concatenate([h, cond.astype(h.dtype)], axis=-1)
         if l in plan["skip_in"]:
             h = jnp.concatenate(
                 [h, inp.astype(h.dtype)], axis=-1
             ) / float(np.sqrt(2))
-        h = _apply_linear(params["layers"][l], h)
+        h = _apply_linear(params["layers"][l], h, in_cols=cols)
         if l < plan["num_layers"] - 2:
             h = softplus100(h)
     return h
@@ -319,6 +334,7 @@ def apply_rendering_net(
     frame_latent_code: jnp.ndarray | None = None,  # (N, dim_frame)
     step=None,
     barf_cfg: tuple[int, int] = (0, 1),
+    pose_embed: jnp.ndarray | None = None,  # (N, 8) precomputed lin_pose out
 ) -> jnp.ndarray:
     if plan["mode"] == "nerf_frame_encoding":
         if plan["multires_view"] > 0:
@@ -326,7 +342,9 @@ def apply_rendering_net(
             view_dirs = embed(view_dirs, step)
         h = jnp.concatenate([view_dirs, frame_latent_code, feature_vectors], axis=-1)
     elif plan["mode"] == "pose":
-        if plan["pose_dim"] > 0:
+        if pose_embed is not None:
+            pass  # caller applied lin_pose once per FRAME, not per point
+        elif plan["pose_dim"] > 0:
             pose_embed = _apply_linear(params["lin_pose"], body_pose)
         else:
             pose_embed = jnp.zeros(points.shape[:-1] + (plan["dim_cond_embed"],))

@@ -150,9 +150,9 @@ def mano_node_forward(
         )
 
     def sdf_at(pts_flat_c, n_pts):  # canonical points (N, 3) -> (N, 1+F)
-        cond = _flat_per_point(cond_pose, n_pts // B)
+        # 45-d conditioning is CVPR-zeroed; the trunk drops its columns
         return apply_implicit_net(
-            nparams["implicit"], plans.implicit, pts_flat_c, cond,
+            nparams["implicit"], plans.implicit, pts_flat_c, None,
             step=step, barf_cfg=plans.barf_cfg,
         )
 
@@ -191,7 +191,6 @@ def mano_node_forward(
         x_c, verts_c, skin_w, tfs, K=plans.knn_k,
     ).reshape(-1, 9)
 
-    cond_pp = _flat_per_point(cond_pose, P * S_f)
     view = -jnp.broadcast_to(
         ray_dirs[:, None, :], (B * P, S_f, 3)
     ).reshape(-1, 3)
@@ -203,10 +202,20 @@ def mano_node_forward(
     imp_sh = _shade_params(nparams["implicit"])
     rend_sh = _shade_params(nparams["rendering"])
 
-    def shade(xc, cond, vw, jinv9):
+    # lin_pose applied once per FRAME (B, 8), then broadcast — the old
+    # per-point (N, 45) conditioning broadcast cost 184 MB at 10k rays, and
+    # the trunk zeroes its copy anyway (CVPR behaviour, handled by layer-0
+    # column dropping in apply_implicit_trunk)
+    from .mlp import _apply_linear as _lin
+
+    pe_pp = _flat_per_point(
+        _lin(rend_sh["lin_pose"], cond_pose).astype(jnp.float32), P * S_f
+    )
+
+    def shade(xc, pe, vw, jinv9):
         def field(p):
             h = apply_implicit_trunk(
-                imp_sh, plans.implicit, p, cond,
+                imp_sh, plans.implicit, p, None,
                 step=step, barf_cfg=plans.barf_cfg,
             )
             # f32 head over the (possibly bf16) trunk activation
@@ -230,12 +239,13 @@ def mano_node_forward(
         nrm = nrm / jnp.maximum(safe_norm(nrm, keepdims=True), 1e-6)
         rgb = apply_rendering_net(
             rend_sh, plans.rendering,
-            xc, nrm, vw, cond, feat, step=step, barf_cfg=plans.barf_cfg,
+            xc, nrm, vw, None, feat, step=step, barf_cfg=plans.barf_cfg,
+            pose_embed=pe,
         )
         return sdf, rgb, nrm
 
     sdf_flat, rgb, normals = map_chunked(
-        shade, (x_c_flat, cond_pp, view, Jinv9), N_pts, remat=True,
+        shade, (x_c_flat, pe_pp, view, Jinv9), N_pts, remat=True,
     )
 
     density = laplace_density(nparams["density"], sdf_flat).reshape(B * P, S_f, 1)
@@ -435,13 +445,12 @@ def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
             pts, verts_posed, skin_w, tfs,
             K=plans.knn_k, max_dist=plans.max_dist,
         )
-        cond = _flat_per_point(cond_pose, P * S)
         # trunk + width-1 SDF head: the sampler never needs the 256-wide
         # feature head, and slicing it off explicitly keeps the (N, 257)
-        # output from ever materializing
+        # output from ever materializing (45-d cond is CVPR-zeroed)
         h = apply_implicit_trunk(
             implicit_bf16, plans.implicit,
-            x_c.reshape(-1, 3), cond,
+            x_c.reshape(-1, 3), None,
             step=step, barf_cfg=plans.barf_cfg,
         )
         out = implicit_sdf_from_trunk(implicit_bf16, h)

@@ -324,14 +324,33 @@ def skinning_jacobian(w: jnp.ndarray, tfs: jnp.ndarray) -> jnp.ndarray:
 # affine algebra whose layouts kept degenerating (every orientation of a
 # sliced component axis was materialized on the 128-lane dim).
 
-def _knn_warp_kernel(pts_ref, verts_ref, vsq_ref, psq_ref, w_ref, tf_ref,
+def _xyz_rows(pts):
+    """(T, 8) point tile -> ((3, T) xyz rows, (1, T) squared norms).
+
+    The row extraction is a tiny selector dot (avoids an in-kernel
+    transpose), and computing |p|^2 here saves the caller a full-width
+    reduce + pad per kernel launch (traced at ~3 ms each at 10k rays)."""
+    sel = jax.lax.broadcasted_iota(jnp.int32, (3, 8), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (3, 8), 1)
+    E3 = (sel == col).astype(jnp.float32)
+    xyz = jax.lax.dot_general(
+        E3, pts, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    psq = (
+        xyz[0:1] * xyz[0:1] + xyz[1:2] * xyz[1:2] + xyz[2:3] * xyz[2:3]
+    )
+    return xyz, psq
+
+
+def _knn_warp_kernel(pts_ref, verts_ref, vsq_ref, w_ref, tf_ref,
                      out_ref, *, K):
     pts = pts_ref[:]  # (T, 8) xyz padded
     verts = verts_ref[:]  # (Vp, 8)
+    xyz, psq = _xyz_rows(pts)
     cross = jax.lax.dot_general(
         verts, pts, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (Vp, T)
-    d2 = jnp.maximum(vsq_ref[:] + psq_ref[:] - 2.0 * cross, 0.0)
+    d2 = jnp.maximum(vsq_ref[:] + psq - 2.0 * cross, 0.0)
     d2c = jnp.minimum(d2, _CLAMP)
 
     BIG = jnp.float32(1e9)
@@ -356,14 +375,6 @@ def _knn_warp_kernel(pts_ref, verts_ref, vsq_ref, psq_ref, w_ref, tf_ref,
     r = [A[4 * i + m : 4 * i + m + 1] for i in range(3) for m in range(3)]
     t = [A[4 * i + 3 : 4 * i + 4] for i in range(3)]
     inv = _inv3_planes(r)
-
-    # xyz rows (3, T) via a tiny selector dot — avoids an in-kernel transpose
-    sel = jax.lax.broadcasted_iota(jnp.int32, (3, 8), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (3, 8), 1)
-    E3 = (sel == col).astype(jnp.float32)  # (3, 8) identity selector
-    xyz = jax.lax.dot_general(
-        E3, pts, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (3, T)
     diff = [xyz[m : m + 1] - t[m] for m in range(3)]
     xc = [
         sum(inv[3 * i + m] * diff[m] for m in range(3)) for i in range(3)
@@ -391,9 +402,6 @@ def _knn_warp_single(pts, verts, skin_weights, tfs, K, max_dist,
     vsq = jnp.full((Vp, 1), 1e9, jnp.float32).at[:V, 0].set(
         jnp.sum(verts * verts, axis=-1)
     )
-    psq = jnp.zeros((1, Pp), jnp.float32).at[0, :P].set(
-        jnp.sum(pts * pts, axis=-1)
-    )
     w_pad = jnp.zeros((Vp, Jp), jnp.float32).at[:V, :J].set(skin_weights)
     # (16, Jp): row c = tfs[:, c//4, c%4]
     tf16 = jnp.zeros((16, Jp), jnp.float32).at[:, :J].set(
@@ -407,7 +415,6 @@ def _knn_warp_single(pts, verts, skin_weights, tfs, K, max_dist,
             pl.BlockSpec((T, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Vp, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Vp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((Vp, Jp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, Jp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -415,7 +422,7 @@ def _knn_warp_single(pts, verts, skin_weights, tfs, K, max_dist,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, Pp), jnp.float32),
         interpret=interpret,
-    )(pts_pad, verts_pad, vsq, psq, w_pad, tf16)
+    )(pts_pad, verts_pad, vsq, w_pad, tf16)
     x_c = jnp.swapaxes(out[:3, :P], 0, 1)
     return x_c, out[3, :P] > max_dist
 
@@ -456,14 +463,15 @@ def knn_inverse_warp(pts, verts, skin_weights, tfs, K=15, max_dist=0.1,
 # materializes XLA-side (where every layout choice degenerated to 128-lane
 # padded singletons, ~95 ms/step at 10k rays).
 
-def _warp_fwd_kernel(pts_ref, verts_ref, vsq_ref, psq_ref, w_ref, tf_ref,
+def _warp_fwd_kernel(pts_ref, verts_ref, vsq_ref, w_ref, tf_ref,
                      out_ref, res_ref, wb_ref, *, K):
     pts = pts_ref[:]
     verts = verts_ref[:]
+    xyz, psq = _xyz_rows(pts)
     cross = jax.lax.dot_general(
         verts, pts, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    d2 = jnp.maximum(vsq_ref[:] + psq_ref[:] - 2.0 * cross, 0.0)
+    d2 = jnp.maximum(vsq_ref[:] + psq - 2.0 * cross, 0.0)
     d2c = jnp.minimum(d2, _CLAMP)
     BIG = jnp.float32(1e9)
     work = d2
@@ -485,12 +493,6 @@ def _warp_fwd_kernel(pts_ref, verts_ref, vsq_ref, psq_ref, w_ref, tf_ref,
     r = [A[4 * i + m : 4 * i + m + 1] for i in range(3) for m in range(3)]
     t = [A[4 * i + 3 : 4 * i + 4] for i in range(3)]
     inv = _inv3_planes(r)
-    sel = jax.lax.broadcasted_iota(jnp.int32, (3, 8), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (3, 8), 1)
-    E3 = (sel == col).astype(jnp.float32)
-    xyz = jax.lax.dot_general(
-        E3, pts, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
     diff = [xyz[m : m + 1] - t[m] for m in range(3)]
     xc = [sum(inv[3 * i + m] * diff[m] for m in range(3)) for i in range(3)]
     dist = jnp.sqrt(jnp.minimum(first_min, _CLAMP))
@@ -539,8 +541,6 @@ def _warp_diff_fwd_single(pts, verts, skin_weights, tfs, K, max_dist,
     verts_pad = jnp.zeros((Vp, 8), jnp.float32).at[:V, :3].set(verts)
     vsq = jnp.full((Vp, 1), 1e9, jnp.float32).at[:V, 0].set(
         jnp.sum(verts * verts, axis=-1))
-    psq = jnp.zeros((1, Pp), jnp.float32).at[0, :P].set(
-        jnp.sum(pts * pts, axis=-1))
     w_pad = jnp.zeros((Vp, Jp), jnp.float32).at[:V, :J].set(skin_weights)
     tf16 = jnp.zeros((16, Jp), jnp.float32).at[:, :J].set(tfs.reshape(J, 16).T)
 
@@ -551,7 +551,6 @@ def _warp_diff_fwd_single(pts, verts, skin_weights, tfs, K, max_dist,
             pl.BlockSpec((T, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Vp, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Vp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((Vp, Jp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, Jp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -566,7 +565,7 @@ def _warp_diff_fwd_single(pts, verts, skin_weights, tfs, K, max_dist,
             jax.ShapeDtypeStruct((16, Pp), jnp.float32),
         ],
         interpret=interpret,
-    )(pts_pad, verts_pad, vsq, psq, w_pad, tf16)
+    )(pts_pad, verts_pad, vsq, w_pad, tf16)
     x_c = jnp.swapaxes(out[:3, :P], 0, 1)
     return (x_c, out[3, :P]), (out, res, wb)
 
@@ -662,14 +661,15 @@ def knn_inverse_warp_diff(pts, verts, skin_weights, tfs, K=15, max_dist=0.1,
 # tfs: d(A^{-1}) = -A^{-1} dA A^{-1}  =>  dL/dA = -A^{-T} G A^{-T},
 # dL/dtfs_rot = sum_points w_blend (x) dL/dA.
 
-def _jinv_fwd_kernel(pts_ref, verts_ref, vsq_ref, psq_ref, w_ref, tf_ref,
+def _jinv_fwd_kernel(pts_ref, verts_ref, vsq_ref, w_ref, tf_ref,
                      out_ref, wb_ref, *, K):
     pts = pts_ref[:]
     verts = verts_ref[:]
+    _, psq = _xyz_rows(pts)
     cross = jax.lax.dot_general(
         verts, pts, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    d2 = jnp.maximum(vsq_ref[:] + psq_ref[:] - 2.0 * cross, 0.0)
+    d2 = jnp.maximum(vsq_ref[:] + psq - 2.0 * cross, 0.0)
     d2c = jnp.minimum(d2, _CLAMP)
     BIG = jnp.float32(1e9)
     work = d2
@@ -734,8 +734,6 @@ def _jinv_fwd_single(pts, verts, skin_weights, tfs, K, interpret=False):
     verts_pad = jnp.zeros((Vp, 8), jnp.float32).at[:V, :3].set(verts)
     vsq = jnp.full((Vp, 1), 1e9, jnp.float32).at[:V, 0].set(
         jnp.sum(verts * verts, axis=-1))
-    psq = jnp.zeros((1, Pp), jnp.float32).at[0, :P].set(
-        jnp.sum(pts * pts, axis=-1))
     w_pad = jnp.zeros((Vp, Jp), jnp.float32).at[:V, :J].set(skin_weights)
     # rows c = 3*i + m hold R[:, i, m]
     tf9 = jnp.zeros((16, Jp), jnp.float32).at[:9, :J].set(
@@ -748,7 +746,6 @@ def _jinv_fwd_single(pts, verts, skin_weights, tfs, K, interpret=False):
             pl.BlockSpec((T, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Vp, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Vp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((Vp, Jp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, Jp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -761,7 +758,7 @@ def _jinv_fwd_single(pts, verts, skin_weights, tfs, K, interpret=False):
             jax.ShapeDtypeStruct((16, Pp), jnp.float32),
         ],
         interpret=interpret,
-    )(pts_pad, verts_pad, vsq, psq, w_pad, tf9)
+    )(pts_pad, verts_pad, vsq, w_pad, tf9)
     jinv9 = jnp.swapaxes(out[:9, :P], 0, 1)  # (P, 9) row-major
     return jinv9, (out, wb)
 
