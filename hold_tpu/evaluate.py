@@ -87,6 +87,9 @@ def run_evaluation(pred, gt, icp_iters: int = 600) -> tuple[dict, dict]:
 
 
 def main():
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # every CLI pays remote TPU compiles otherwise
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", required=True, help="experiment dir (logs/<key>)")
     ap.add_argument("--case", required=True)

@@ -186,6 +186,9 @@ def refine(args):
 
 
 def main():
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # every CLI pays remote TPU compiles otherwise
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", required=True)
     ap.add_argument("--case", required=True)

@@ -116,11 +116,16 @@ def render_frame(
         batch["uv"] = jnp.asarray(uv_p[:, s:s + pixel_per_batch])
         res = chunk_fn(params, batch, mesh_state)
         for k, v in res.items():
-            outs.setdefault(k, []).append(np.asarray(v))
+            # keep chunk outputs on device: a per-chunk np.asarray would
+            # force one synchronous device->host round-trip per chunk (the
+            # tunneled TPU pays up to ~1 s each); one device_get at the end
+            # lets all chunks dispatch asynchronously
+            outs.setdefault(k, []).append(v)
 
+    outs = jax.device_get(outs)
     result = {}
     for k, chunks in outs.items():
-        flat = np.concatenate(chunks, axis=0)[:n_pix]
+        flat = np.concatenate([np.asarray(c) for c in chunks], axis=0)[:n_pix]
         if flat.ndim == 1:
             result[k] = flat.reshape(H, W)
         else:

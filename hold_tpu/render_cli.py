@@ -18,6 +18,9 @@ from .render.renderer import outputs_to_panel, render_frame
 
 
 def main():
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # every CLI pays remote TPU compiles otherwise
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", required=True)
     ap.add_argument("--case", required=True)
@@ -25,7 +28,7 @@ def main():
     ap.add_argument("--render_downsample", type=int, default=2)
     ap.add_argument("--agent_id", type=int, default=0)
     ap.add_argument("--num_agents", type=int, default=1)
-    ap.add_argument("--pixel_per_batch", type=int, default=512)
+    ap.add_argument("--pixel_per_batch", type=int, default=4096)
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 

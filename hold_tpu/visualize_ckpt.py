@@ -47,6 +47,9 @@ def overlay_mesh(img: np.ndarray, verts_cam: np.ndarray, faces: np.ndarray,
 
 
 def main():
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # every CLI pays remote TPU compiles otherwise
     import cv2
     import jax.numpy as jnp
 
