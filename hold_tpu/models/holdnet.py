@@ -231,7 +231,19 @@ def object_mesh_state_from_mesh(vertices: np.ndarray, faces: np.ndarray) -> dict
                 break
             target = max(int(target * 0.55), 500)
         vertices, faces = m.vertices, m.faces
-        assert vertices.shape[0] <= 8192, vertices.shape
+        if vertices.shape[0] > 8192:
+            # Truncating the vertex set would LOOSEN the off-surface bound
+            # (missing verts -> overestimated distance -> near-surface points
+            # misclassified as off-surface), so fall back to an invalid state
+            # (valid=0 disables the bound) rather than corrupting the loss.
+            import logging
+
+            logging.getLogger("hold_tpu").warning(
+                "object mesh kept %d verts after 8 decimation rounds "
+                "(limit 8192); disabling the off-surface vertex bound",
+                vertices.shape[0],
+            )
+            return empty_object_mesh_state()
     tri = np.full((OBJ_MESH_MAX_F, 3, 3), PAD_FAR, np.float32)
     F = min(faces.shape[0], OBJ_MESH_MAX_F)
     tri[:F] = vertices[faces[:F]]

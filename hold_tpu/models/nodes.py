@@ -411,6 +411,36 @@ def _shade_params(net_params: dict) -> dict:
     return net_params
 
 
+def _use_fused_query(plans: NodePlans) -> bool:
+    """Fused sampler-query kernel: TPU only, supported trunk shapes only.
+    HOLD_NO_FUSED_SAMPLER=1 forces the layer-by-layer XLA path (A/B runs)."""
+    if os.environ.get("HOLD_NO_FUSED_SAMPLER"):
+        return False
+    if jax.devices()[0].platform != "tpu":
+        return False
+    from ..ops.fused_query import supports_fused_query
+
+    return supports_fused_query(plans.implicit)
+
+
+def _fused_embed_plan(plans: NodePlans, step):
+    """(EMB_ROWS, 8) embed plan with the node's BARF window baked in."""
+    from ..models.embedders import barf_alpha, barf_weights
+    from ..ops.fused_query import embed_plan
+
+    plan = plans.implicit
+    if plan["embedding"] == "barf" and step is not None:
+        L = plan["multires"]
+        alpha = barf_alpha(step, L, *plans.barf_cfg)
+        wf = barf_weights(alpha, L)
+        window = jnp.concatenate(
+            [jnp.ones((3,), jnp.float32), jnp.repeat(wf, 6)]
+        )
+    else:
+        window = None
+    return embed_plan(plan["multires"], window)
+
+
 def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
                        step, epoch, rng, training):
     """Sampler-only stage for the MANO node (stop-gradient z table).
@@ -436,11 +466,26 @@ def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
         server.skin_weights_c, (B,) + server.skin_weights_c.shape[1:]
     )
 
-    implicit_bf16 = _bf16_tree(resolve_weight_norm(nparams["implicit"]))
+    resolved = resolve_weight_norm(nparams["implicit"])
+    implicit_bf16 = _bf16_tree(resolved)
+    fused = _use_fused_query(plans)
+
+    if fused:
+        from ..ops.fused_query import pack_trunk_weights
+        pack = pack_trunk_weights(resolved, plans.implicit)
+        plan_arr = _fused_embed_plan(plans, step)
 
     def sampler_sdf(pts_RS3):
         S = pts_RS3.shape[1]
         pts = pts_RS3.reshape(B, P * S, 3)
+        if fused:
+            # single Pallas kernel: KNN warp + PE + bf16 trunk + f32 head,
+            # weights VMEM-resident (see ops/fused_query.py)
+            from ..ops.fused_query import fused_hand_sampler_sdf
+            sdf = fused_hand_sampler_sdf(
+                pts, verts_posed, skin_w, tfs, plan_arr, pack, K=plans.knn_k,
+            )
+            return sdf.reshape(B * P, S)
         x_c, _ = knn_inverse_warp(
             pts, verts_posed, skin_w, tfs,
             K=plans.knn_k, max_dist=plans.max_dist,
@@ -472,11 +517,26 @@ def object_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
         pose["global_orient"], obj_scale=nparams.get("obj_scale"),
     )
     tfs = srv_out.obj_tfs
-    implicit_bf16 = _bf16_tree(resolve_weight_norm(nparams["implicit"]))
+    resolved = resolve_weight_norm(nparams["implicit"])
+    implicit_bf16 = _bf16_tree(resolved)
+    fused = _use_fused_query(plans)
+
+    if fused:
+        from ..ops.fused_query import pack_trunk_weights
+        pack = pack_trunk_weights(resolved, plans.implicit)
+        plan_arr = _fused_embed_plan(plans, step)
+        Rinv = inverse_mat3(tfs[:, :3, :3])
+        tf12 = jnp.concatenate(
+            [Rinv.reshape(B, 9), tfs[:, :3, 3]], axis=-1
+        )
 
     def sampler_sdf(pts_RS3):
         S = pts_RS3.shape[1]
         pts = pts_RS3.reshape(B, P * S, 3)
+        if fused:
+            from ..ops.fused_query import fused_object_sampler_sdf
+            sdf = fused_object_sampler_sdf(pts, tf12, plan_arr, pack)
+            return sdf.reshape(B * P, S)
         x_c = object_deform(pts, tfs, inverse=True)
         cond = jnp.zeros((B * P * S, 0), jnp.bfloat16)
         h = apply_implicit_trunk(

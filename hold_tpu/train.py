@@ -224,6 +224,7 @@ def run_training(args, cfg, seq: SequenceData | None = None,
 
     mesher = ThreadPoolExecutor(max_workers=1)
     mesh_future = None
+    pending_mesh_snapshot = None
     sync_meshing = bool(args.fast_dev_run)
 
     def run_meshing(host_params, at_step):
@@ -327,6 +328,9 @@ def run_training(args, cfg, seq: SequenceData | None = None,
             except Exception as e:  # meshing must never kill training
                 log.warning(f"async meshing failed: {e}")
             mesh_future = None
+            if pending_mesh_snapshot is not None:
+                mesh_future = mesher.submit(run_meshing, *pending_mesh_snapshot)
+                pending_mesh_snapshot = None
             timer.stop("meshing")
 
         # epoch boundary: meshing + checkpoints (hold.py:139-166 cadence)
@@ -346,8 +350,17 @@ def run_training(args, cfg, seq: SequenceData | None = None,
                         log.warning(f"meshing failed: {e}")
                 elif mesh_future is None:
                     mesh_future = mesher.submit(run_meshing, host_params, step)
+                    pending_mesh_snapshot = None
                 else:
-                    log.info("meshing still running; skipping this cadence")
+                    # queue the latest snapshot so at most one cadence is
+                    # coalesced (never silently dropped) when meshing
+                    # outlasts an epoch
+                    pending_mesh_snapshot = (host_params, step)
+                    log.warning(
+                        "meshing still running at epoch %d; queued snapshot "
+                        "for step %d (coalescing previous pending one)",
+                        ep, step,
+                    )
                 timer.stop("meshing")
             if ep % max(args.eval_every_epoch, 1) == 0 or step >= total_steps:
                 save_checkpoint(

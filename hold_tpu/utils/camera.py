@@ -104,7 +104,7 @@ def estimate_translation(S, joints_2d, joints_conf, focal_length, img_size):
 # --------------------------------------------------------------------------
 
 def look_at(eye, at=None, up=None, eps=1e-5):
-    """Camera-to-world rotation matrix (rows right/up/forward), numpy host-side.
+    """Camera-to-world rotation matrix (columns right/up/forward), numpy host-side.
 
     Convention parity with camera.py:292-316: z = normalize(at - eye)."""
     eye = np.asarray(eye, np.float64).reshape(-1, 3)
