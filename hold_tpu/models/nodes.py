@@ -245,7 +245,7 @@ def mano_node_forward(
         return sdf, rgb, nrm
 
     sdf_flat, rgb, normals = map_chunked(
-        shade, (x_c_flat, pe_pp, view, Jinv9), N_pts, remat=True,
+        shade, (x_c_flat, pe_pp, view, Jinv9), N_pts, remat=_shade_remat(),
     )
 
     density = laplace_density(nparams["density"], sdf_flat).reshape(B * P, S_f, 1)
@@ -365,7 +365,7 @@ def object_node_forward(
         return sdf, rgb, nrm
 
     sdf_flat, rgb, normals = map_chunked(
-        shade, (x_c_flat, view, rinv_pp, tc_pp), N_pts, remat=True
+        shade, (x_c_flat, view, rinv_pp, tc_pp), N_pts, remat=_shade_remat()
     )
 
     density = laplace_density(nparams["density"], sdf_flat).reshape(B * P, S_f, 1)
@@ -384,6 +384,14 @@ def object_node_forward(
         "verts_posed": srv_out.verts,
     }
     return factors, sample_dict
+
+
+def _shade_remat() -> bool:
+    """Rematerialise the shading chunks in backward (default on).
+
+    HOLD_NO_REMAT=1 stores all chunk activations instead — fits HBM at
+    moderate ray counts and skips the backward recompute (A/B knob)."""
+    return not os.environ.get("HOLD_NO_REMAT")
 
 
 def _bf16_tree(tree):
@@ -418,9 +426,14 @@ def _use_fused_query(plans: NodePlans) -> bool:
         return False
     if jax.devices()[0].platform != "tpu":
         return False
-    from ..ops.fused_query import supports_fused_query
+    from ..ops.fused_query import _T, supports_fused_query
 
-    return supports_fused_query(plans.implicit)
+    # z-table entry points expand points in-kernel; the tile must hold a
+    # whole number of rays
+    return (
+        supports_fused_query(plans.implicit)
+        and _T % plans.sampler.N_samples_eval == 0
+    )
 
 
 def _fused_embed_plan(plans: NodePlans, step):
@@ -470,22 +483,28 @@ def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
     implicit_bf16 = _bf16_tree(resolved)
     fused = _use_fused_query(plans)
 
+    query_z = None
     if fused:
-        from ..ops.fused_query import pack_trunk_weights
+        from ..ops.fused_query import (
+            fused_hand_sampler_sdf_z, pack_rays8, pack_trunk_weights,
+        )
         pack = pack_trunk_weights(resolved, plans.implicit)
         plan_arr = _fused_embed_plan(plans, step)
+        S_eval = plans.sampler.N_samples_eval
+        rays8 = pack_rays8(ray_dirs, cam_loc, B, P, S_eval)
+
+        def query_z(z_RS):
+            # single Pallas kernel: in-kernel cam + z*dir expansion + KNN
+            # warp + PE + bf16 trunk + f32 head, weights VMEM-resident
+            sdf = fused_hand_sampler_sdf_z(
+                rays8, z_RS.reshape(B, P, -1), verts_posed, skin_w, tfs,
+                plan_arr, pack, K=plans.knn_k,
+            )
+            return sdf.reshape(B * P, -1)
 
     def sampler_sdf(pts_RS3):
         S = pts_RS3.shape[1]
         pts = pts_RS3.reshape(B, P * S, 3)
-        if fused:
-            # single Pallas kernel: KNN warp + PE + bf16 trunk + f32 head,
-            # weights VMEM-resident (see ops/fused_query.py)
-            from ..ops.fused_query import fused_hand_sampler_sdf
-            sdf = fused_hand_sampler_sdf(
-                pts, verts_posed, skin_w, tfs, plan_arr, pack, K=plans.knn_k,
-            )
-            return sdf.reshape(B * P, S)
         x_c, _ = knn_inverse_warp(
             pts, verts_posed, skin_w, tfs,
             K=plans.knn_k, max_dist=plans.max_dist,
@@ -503,7 +522,8 @@ def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
 
     beta0 = jax.lax.stop_gradient(laplace_beta(nparams["density"]))
     return error_bound_z_vals(
-        rng, sampler_sdf, ray_dirs, cam_loc, beta0, plans.sampler, training
+        rng, sampler_sdf, ray_dirs, cam_loc, beta0, plans.sampler, training,
+        query_z_fn=query_z,
     )
 
 
@@ -521,22 +541,28 @@ def object_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
     implicit_bf16 = _bf16_tree(resolved)
     fused = _use_fused_query(plans)
 
+    query_z = None
     if fused:
-        from ..ops.fused_query import pack_trunk_weights
+        from ..ops.fused_query import (
+            fused_object_sampler_sdf_z, pack_rays8, pack_trunk_weights,
+        )
         pack = pack_trunk_weights(resolved, plans.implicit)
         plan_arr = _fused_embed_plan(plans, step)
         Rinv = inverse_mat3(tfs[:, :3, :3])
         tf12 = jnp.concatenate(
             [Rinv.reshape(B, 9), tfs[:, :3, 3]], axis=-1
         )
+        rays8 = pack_rays8(ray_dirs, cam_loc, B, P, plans.sampler.N_samples_eval)
+
+        def query_z(z_RS):
+            sdf = fused_object_sampler_sdf_z(
+                rays8, z_RS.reshape(B, P, -1), tf12, plan_arr, pack,
+            )
+            return sdf.reshape(B * P, -1)
 
     def sampler_sdf(pts_RS3):
         S = pts_RS3.shape[1]
         pts = pts_RS3.reshape(B, P * S, 3)
-        if fused:
-            from ..ops.fused_query import fused_object_sampler_sdf
-            sdf = fused_object_sampler_sdf(pts, tf12, plan_arr, pack)
-            return sdf.reshape(B * P, S)
         x_c = object_deform(pts, tfs, inverse=True)
         cond = jnp.zeros((B * P * S, 0), jnp.bfloat16)
         h = apply_implicit_trunk(
@@ -549,5 +575,6 @@ def object_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
 
     beta0 = jax.lax.stop_gradient(laplace_beta(nparams["density"]))
     return error_bound_z_vals(
-        rng, sampler_sdf, ray_dirs, cam_loc, beta0, plans.sampler, training
+        rng, sampler_sdf, ray_dirs, cam_loc, beta0, plans.sampler, training,
+        query_z_fn=query_z,
     )

@@ -9,10 +9,14 @@ backward are bounded per step while remaining a single compiled loop.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
-DEFAULT_CHUNK = 32768  # < the ~2e5-point transposed-fusion crash threshold
+# < the ~2e5-point transposed-fusion crash threshold; HOLD_SHADE_CHUNK
+# overrides for A/B runs (bigger chunks = fewer boundaries, larger fusions)
+DEFAULT_CHUNK = int(os.environ.get("HOLD_SHADE_CHUNK", 32768))
 
 
 def map_chunked(body, args: tuple, n: int, chunk: int = DEFAULT_CHUNK,

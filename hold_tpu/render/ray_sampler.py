@@ -161,12 +161,13 @@ def sample_pdf(
 
 def error_bound_z_vals(
     rng: jax.Array | None,
-    sdf_fn: Callable[[jnp.ndarray], jnp.ndarray],  # (R, S, 3) -> (R, S) sdf
+    sdf_fn: Callable[[jnp.ndarray], jnp.ndarray] | None,  # (R,S,3) -> (R,S)
     ray_dirs: jnp.ndarray,  # (R, 3)
     cam_loc: jnp.ndarray,  # (R, 3)
     beta0: jnp.ndarray,  # scalar current Laplace beta
     cfg: SamplerConfig,
     training: bool,
+    query_z_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     """Final z values per ray: (R, N_samples + 2 + N_samples_extra).
 
@@ -197,6 +198,11 @@ def error_bound_z_vals(
                         cfg.N_samples_eval, training)
 
     def query(z):
+        # query_z_fn receives the z table directly — the fused sampler
+        # kernels expand cam + z*dir in-kernel, so the (R, S, 3) point
+        # tensor never materialises in HBM (ops/fused_query.py)
+        if query_z_fn is not None:
+            return jax.lax.stop_gradient(query_z_fn(z))
         pts = cam_loc[:, None, :] + z[:, :, None] * ray_dirs[:, None, :]
         return jax.lax.stop_gradient(sdf_fn(pts))
 
@@ -216,7 +222,7 @@ def error_bound_z_vals(
         curr_err = _error_bound(beta0, beta[:, None], sdf, z_vals, dists, d_star)
         beta = jnp.where(curr_err <= cfg.eps, beta0, beta)
 
-        def body(_, carry):
+        def body(carry):
             beta_min, beta_max = carry
             beta_mid = 0.5 * (beta_min + beta_max)
             err = _error_bound(
@@ -228,10 +234,14 @@ def error_bound_z_vals(
                 jnp.where(ok, beta_mid, beta_max),
             )
 
-        _, beta = jax.lax.fori_loop(
-            0, cfg.beta_iters, body, (jnp.full((R,), beta0), beta)
-        )
-        return beta
+        # statically unrolled (beta_iters is ~10): the fori_loop's `while`
+        # op cost ~28 ms/step at 10k rays in loop dispatch + forced
+        # materialisation of the carry; unrolled, each iteration's
+        # elementwise chain fuses with the next
+        carry = (jnp.full((R,), beta0), beta)
+        for _ in range(cfg.beta_iters):
+            carry = body(carry)
+        return carry[1]
 
     # unrolled refinement: each round's ops compile at the table's true
     # width (Ne, 2*Ne, ...) — no padding, no validity masks

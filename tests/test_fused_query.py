@@ -153,3 +153,78 @@ def test_fused_object_kernel_matches_xla_path():
     )
     np.testing.assert_allclose(got, ref, atol=2e-2)
     assert np.abs(got - ref).mean() < 4e-3
+
+def test_fused_hand_z_kernel_matches_pts_kernel():
+    """z-table entry point == pts entry point on points cam + z*dir."""
+    from hold_tpu.ops.fused_query import fused_hand_sampler_sdf_z, pack_rays8
+
+    _, plan, resolved = _implicit(MANO_SPECS, seed=0)
+    rng = np.random.RandomState(7)
+    B, P, S, V, J, K = 2, 6, 128, 778, 16, 15
+    dirs = rng.randn(B * P, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    cam = rng.randn(B * P, 3).astype(np.float32) * 0.1
+    z = jnp.asarray(np.sort(rng.rand(B, P, S) * 0.6, axis=-1), jnp.float32)
+    pts = jnp.asarray(
+        cam.reshape(B, P, 1, 3)
+        + np.asarray(z)[..., None] * dirs.reshape(B, P, 1, 3)
+    ).reshape(B, P * S, 3)
+    verts = jnp.asarray(rng.randn(B, V, 3) * 0.12, jnp.float32)
+    w = rng.rand(B, V, J).astype(np.float32) ** 4
+    w = jnp.asarray(w / w.sum(-1, keepdims=True))
+    tfs = _rigid_tfs(rng, B, J)
+
+    pack = pack_trunk_weights(resolved, plan)
+    plan_arr = embed_plan(plan["multires"], None)
+    ref = np.asarray(
+        fused_hand_sampler_sdf(
+            pts, verts, w, tfs, plan_arr, pack, K=K, interpret=True
+        )
+    ).reshape(B, P, S)
+    rays8 = pack_rays8(jnp.asarray(dirs), jnp.asarray(cam), B, P, S)
+    got = np.asarray(
+        fused_hand_sampler_sdf_z(
+            rays8, z, verts, w, tfs, plan_arr, pack, K=K, interpret=True
+        )
+    )
+    assert got.shape == (B, P, S)
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+    assert np.abs(got - ref).mean() < 4e-3
+
+
+def test_fused_object_z_kernel_matches_pts_kernel():
+    from hold_tpu.ops.fused_query import (
+        fused_object_sampler_sdf_z,
+        pack_rays8,
+    )
+    from hold_tpu.utils.transforms import inverse_mat3
+
+    _, plan, resolved = _implicit(OBJ_SPECS, seed=1)
+    rng = np.random.RandomState(11)
+    B, P, S = 2, 10, 128  # P not divisible by the per-tile ray count (4)
+    dirs = rng.randn(B * P, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    cam = rng.randn(B * P, 3).astype(np.float32) * 0.1
+    z = jnp.asarray(np.sort(rng.rand(B, P, S) * 0.8, axis=-1), jnp.float32)
+    pts = jnp.asarray(
+        cam.reshape(B, P, 1, 3)
+        + np.asarray(z)[..., None] * dirs.reshape(B, P, 1, 3)
+    ).reshape(B, P * S, 3)
+    tfs = _rigid_tfs(rng, B, 1, rot_scale=0.8, t_scale=0.2)[:, 0]
+
+    plan_arr = embed_plan(plan["multires"], None)
+    pack = pack_trunk_weights(resolved, plan)
+    Rinv = inverse_mat3(tfs[:, :3, :3])
+    tf12 = jnp.concatenate([Rinv.reshape(B, 9), tfs[:, :3, 3]], axis=-1)
+    ref = np.asarray(
+        fused_object_sampler_sdf(pts, tf12, plan_arr, pack, interpret=True)
+    ).reshape(B, P, S)
+    rays8 = pack_rays8(jnp.asarray(dirs), jnp.asarray(cam), B, P, S)
+    got = np.asarray(
+        fused_object_sampler_sdf_z(
+            rays8, z, tf12, plan_arr, pack, interpret=True
+        )
+    )
+    assert got.shape == (B, P, S)
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+    assert np.abs(got - ref).mean() < 4e-3
