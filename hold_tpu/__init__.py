@@ -12,3 +12,14 @@ extraction, marching cubes) are C++.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# OpenCV's parallel backend (OpenMP) busy-waits on worker threads after any
+# cv2 call, starving XLA:CPU's threadpool for the rest of the process: a
+# jitted train step measured 24 s/step with cv2 imported vs 0.1 s without
+# (same executable, same shapes).  One thread for cv2 keeps image IO fast
+# enough and returns the cores to XLA.  Must be set before cv2's first
+# parallel region, hence here — every CLI, test, and library path imports
+# hold_tpu before touching cv2.
+_os.environ.setdefault("OPENCV_FOR_THREADS_NUM", "1")

@@ -8,6 +8,9 @@ import glob
 import os
 import sys
 
+# see hold_tpu/__init__.py: cv2's OpenMP workers starve XLA:CPU otherwise
+os.environ.setdefault("OPENCV_FOR_THREADS_NUM", "1")
+
 
 def encode(folder: str, fps: int) -> str | None:
     import cv2

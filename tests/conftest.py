@@ -9,6 +9,9 @@ config explicitly after importing jax.
 import os
 import sys
 
+# see hold_tpu/__init__.py: cv2's OpenMP workers starve XLA:CPU otherwise
+os.environ.setdefault("OPENCV_FOR_THREADS_NUM", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
