@@ -157,7 +157,15 @@ def main():
                 ).compile().cost_analysis()
                 if isinstance(c1, list):
                     c1, c2 = c1[0], c2[0]
-                flops_per_ray = (c1.get("flops", 0) + c2.get("flops", 0)) / rays
+                flops = c1.get("flops", 0) + c2.get("flops", 0)
+                # Pallas kernels report zero flops to the cost model; add the
+                # fused sampler queries analytically (ops/fused_query.py)
+                if jax.devices()[0].platform == "tpu":
+                    from hold_tpu.ops.fused_query import (
+                        sampler_query_flops_per_step,
+                    )
+                    flops += sampler_query_flops_per_step(scene, rays)
+                flops_per_ray = flops / rays
             except Exception:
                 flops_per_ray = None
         # Timing notes for the tunneled TPU backend: block_until_ready is the

@@ -525,3 +525,41 @@ def fused_object_sampler_sdf_z(rays8, z, tf_inv12, plan_arr, pack,
         interpret=interpret,
     )(rays8, z_pad, tfi, plan_arr, *_mlp_args(pack))
     return out[:, 0, : P * S].reshape(B, P, S)
+
+
+# --------------------------------------------------------------------------
+# Analytic cost model
+# --------------------------------------------------------------------------
+
+def sampler_query_flops_per_step(scene, n_rays: int) -> float:
+    """Analytic FLOPs/step of the fused sampler queries (all nodes).
+
+    Pallas kernels report zero FLOPs to XLA's cost analysis, so bench MFU
+    numbers computed from `compiled.cost_analysis()` alone undercount the
+    sampler stage once the fused path is active.  This counts the dominant
+    terms per queried point — the 8x256 trunk matmuls, the KNN distance
+    matmul against the padded vertex table and the skinning blends — times
+    the per-step query count: every refinement round queries N_samples_eval
+    fresh points per ray (render/ray_sampler.py error_bound_z_vals).
+    """
+    cfg = scene.sampler_cfg
+    pts_per_ray = cfg.N_samples_eval * cfg.max_total_iters
+    total = 0.0
+    for nid in scene.node_ids:
+        plan = scene.plans[nid].implicit
+        if not supports_fused_query(plan):
+            continue
+        # trunk: 2 MACs per weight element (incl. the zero-padded columns the
+        # kernel really multiplies); matches pack_trunk_weights layout
+        E, H, Hp = _EMB_ROWS, 256, 224
+        f = 2.0 * (E * H + 3 * H * H + Hp * H + H * Hp + E * H + 3 * H * H + H)
+        if nid in ("right", "left"):
+            K = scene.plans[nid].knn_k
+            Vp = _round_up(778, 128)
+            Jp = _round_up(16, 8)
+            # distance matmul + top-K scan + weight/tf blends + affine solve
+            f += 2.0 * 3 * Vp + Vp * K + 2.0 * K * Jp + 2.0 * 16 * Jp + 120
+        else:
+            f += 2.0 * 9 + 6  # rigid inverse-affine apply
+        total += f * pts_per_ray * n_rays
+    return total
