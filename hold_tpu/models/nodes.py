@@ -174,6 +174,52 @@ def mano_node_forward(
     pts = points.reshape(B, P * S_f, 3)
     N_pts = B * P * S_f
 
+    if not training and _use_fused_render(plans):
+        # inference: the whole per-point pipeline is stop-gradient, so warp
+        # + Jinv + trunk fwd/bwd + feature + color run as ONE Pallas kernel
+        # (ops/fused_render.py)
+        from ..ops.fused_query import pack_trunk_weights
+        from ..ops.fused_render import (
+            frame_bias0, fused_hand_render, pack_color_weights,
+            pack_trunk_transposed,
+        )
+        from .mlp import _apply_linear as _lin_f32
+
+        pe = _lin_f32(nparams["rendering"]["lin_pose"], cond_pose)  # (B, 8)
+        sdf_f, rgb_f, nrm_f, dist, x_c = fused_hand_render(
+            pts, verts_posed, verts_c, skin_w, tfs,
+            _fused_embed_plan(plans, step),
+            pack_trunk_weights(nparams["implicit"], plans.implicit),
+            pack_trunk_transposed(nparams["implicit"], plans.implicit),
+            pack_color_weights(nparams["rendering"], nparams["implicit"]),
+            frame_bias0(nparams["rendering"], pe),
+            K=plans.knn_k, interpret=_fused_render_interpret(),
+        )
+        outlier = dist > plans.max_dist
+        density = laplace_density(
+            nparams["density"], sdf_f.reshape(-1)
+        ).reshape(B * P, S_f, 1)
+        semantics = jnp.zeros((B * P, S_f, MAX_CLASS)).at[
+            :, :, plans.class_id
+        ].set(1.0)
+        factors = {
+            "color": rgb_f.reshape(B * P, S_f, 3),
+            "normal": nrm_f.reshape(B * P, S_f, 3),
+            "density": density,
+            "semantics": semantics,
+            "z_vals": z_vals,
+        }
+        sample_dict = {
+            "canonical_pts": x_c.reshape(B, P, S_f, 3),
+            "cond_pose": cond_pose,
+            "tfs": tfs,
+            "verts_posed": verts_posed,
+            "v_posed": srv_out.v_posed,
+            "jnts": srv_out.jnts,
+            "outlier": outlier,
+        }
+        return factors, sample_dict
+
     # deformed -> canonical warp, fused into one differentiable Pallas kernel
     # (KNN against the per-frame POSED verts + weight blend + affine inverse
     # + apply, with a closed-form Pallas VJP for pts/tfs — the per-point 3x3
@@ -324,6 +370,46 @@ def object_node_forward(
 
     points = cam_loc[:, None, :] + z_vals[:, :, None] * ray_dirs[:, None, :]
     pts = points.reshape(B, P * S_f, 3)
+
+    if not training and _use_fused_render(plans):
+        from ..ops.fused_query import pack_trunk_weights
+        from ..ops.fused_render import (
+            frame_bias0, fused_object_render, pack_color_weights,
+            pack_trunk_transposed,
+        )
+
+        Rinv_f = inverse_mat3(tfs[:, :3, :3])
+        tf12 = jnp.concatenate([Rinv_f.reshape(B, 9), tfs[:, :3, 3]], axis=-1)
+        sdf_f, rgb_f, nrm_f, _, x_c = fused_object_render(
+            pts, tf12,
+            _fused_embed_plan(plans, step),
+            pack_trunk_weights(nparams["implicit"], plans.implicit),
+            pack_trunk_transposed(nparams["implicit"], plans.implicit),
+            pack_color_weights(nparams["rendering"], nparams["implicit"]),
+            frame_bias0(nparams["rendering"], jnp.zeros((B, 8), jnp.float32),
+                        time_code=time_code),
+            interpret=_fused_render_interpret(),
+        )
+        density = laplace_density(
+            nparams["density"], sdf_f.reshape(-1)
+        ).reshape(B * P, S_f, 1)
+        semantics = jnp.zeros((B * P, S_f, MAX_CLASS)).at[
+            :, :, plans.class_id
+        ].set(1.0)
+        factors = {
+            "color": rgb_f.reshape(B * P, S_f, 3),
+            "normal": nrm_f.reshape(B * P, S_f, 3),
+            "density": density,
+            "semantics": semantics,
+            "z_vals": z_vals,
+        }
+        sample_dict = {
+            "canonical_pts": x_c.reshape(B, P, S_f, 3),
+            "tfs": tfs,
+            "verts_posed": srv_out.verts,
+        }
+        return factors, sample_dict
+
     x_c = object_deform(pts, tfs, inverse=True)
     x_c_flat = x_c.reshape(-1, 3)
     N_pts = B * P * S_f
@@ -434,6 +520,27 @@ def _use_fused_query(plans: NodePlans) -> bool:
         supports_fused_query(plans.implicit)
         and _T % plans.sampler.N_samples_eval == 0
     )
+
+
+def _use_fused_render(plans: NodePlans) -> bool:
+    """Fused inference render kernel: TPU only, supported net shapes only.
+    HOLD_NO_FUSED_RENDER=1 forces the layer-by-layer XLA path (A/B runs);
+    HOLD_FUSED_RENDER=interpret forces the kernel in interpret mode on any
+    backend (CPU end-to-end verification of the integration wiring)."""
+    if os.environ.get("HOLD_NO_FUSED_RENDER"):
+        return False
+    if (
+        jax.devices()[0].platform != "tpu"
+        and os.environ.get("HOLD_FUSED_RENDER") != "interpret"
+    ):
+        return False
+    from ..ops.fused_render import supports_fused_render
+
+    return supports_fused_render(plans.implicit, plans.rendering)
+
+
+def _fused_render_interpret() -> bool:
+    return os.environ.get("HOLD_FUSED_RENDER") == "interpret"
 
 
 def _fused_embed_plan(plans: NodePlans, step):
