@@ -237,3 +237,76 @@ def test_trunk_backward_matches_autodiff_f32():
     ref = g_ref / jnp.maximum(safe_norm(g_ref, keepdims=True), 1e-6)
     nerr = np.abs(np.asarray(nrm).reshape(-1, 3) - np.asarray(ref))
     assert np.quantile(nerr, 0.99) < 0.08, nerr.max()
+
+
+def test_node_forward_integration_env_toggle(tmp_path, monkeypatch):
+    """The nodes.py wiring: mano/object node forwards at training=False take
+    the fused path under HOLD_FUSED_RENDER=interpret and match the XLA path
+    (factors + sample_dict shapes) at bf16 tolerance."""
+    import os
+
+    from hold_tpu.data.synthetic import generate_sequence
+    from hold_tpu.data.dataset import SequenceData
+    from hold_tpu.models.holdnet import (
+        build_scene, get_camera_rays, init_scene_params,
+    )
+    from hold_tpu.models.nodes import mano_node_forward, object_node_forward
+    from hold_tpu.utils.config import load_config
+
+    root = str(tmp_path)
+    generate_sequence(os.path.join(root, "toy"), n_frames=3, img_hw=(48, 64))
+    seq = SequenceData("toy", root, num_sample=8)
+    cfg = load_config()
+    opt = dict(cfg["model"])
+    opt["scene_bounding_sphere"] = seq.scene_bounding_sphere
+    scene = build_scene(opt, {"barf_s": 5, "barf_e": 50}, seq.scene_data())
+    params = init_scene_params(jax.random.PRNGKey(0), scene, seq.scene_data())
+
+    rng = np.random.RandomState(0)
+    batch_np = seq.sample_tempo_batch(rng, batch_size=1, num_sample=8)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    B, P = batch["uv"].shape[:2]
+    rd, cl = get_camera_rays(
+        batch["uv"], batch["extrinsics"], batch["intrinsics"]
+    )
+    rd = rd.reshape(-1, 3)
+    cl = jnp.broadcast_to(cl[:, None, :], (B, P, 3)).reshape(-1, 3)
+    z_vals = jnp.broadcast_to(
+        jnp.linspace(0.2, 2.2, 16)[None], (B * P, 16)
+    )
+
+    results = {}
+    for tag, env in (
+        ("xla", {"HOLD_NO_FUSED_RENDER": "1"}),
+        ("fused", {"HOLD_FUSED_RENDER": "interpret"}),
+    ):
+        monkeypatch.delenv("HOLD_NO_FUSED_RENDER", raising=False)
+        monkeypatch.delenv("HOLD_FUSED_RENDER", raising=False)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        fh, sdh = mano_node_forward(
+            params["right"], scene.servers["right"], scene.plans["right"],
+            batch, rd, cl, None, None, None, training=False, z_vals=z_vals,
+        )
+        fo, sdo = object_node_forward(
+            params["object"], scene.servers["object"], scene.plans["object"],
+            batch, rd, cl, None, None, None, training=False, z_vals=z_vals,
+        )
+        results[tag] = jax.device_get((fh, sdh, fo, sdo))
+
+    for i, which in ((0, "hand"), (2, "object")):
+        a, b = results["xla"][i], results["fused"][i]
+        assert set(a) == set(b)
+        for k in ("color", "density", "z_vals"):
+            d = np.abs(a[k] - b[k])
+            scale = max(np.abs(a[k]).mean(), 1.0)
+            assert d.mean() < 2e-2 * scale, (which, k, d.mean(), scale)
+    # sample_dict parity: canonical points identical up to kernel padding
+    np.testing.assert_allclose(
+        results["xla"][1]["canonical_pts"], results["fused"][1]["canonical_pts"],
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        results["xla"][3]["canonical_pts"], results["fused"][3]["canonical_pts"],
+        atol=1e-4,
+    )
