@@ -222,10 +222,18 @@ def compute_icp_metrics(
         return cd, f5 / 100.0, f10 / 100.0
 
     def run_from(R0):
+        """Both refinement stages; yields each stage's estimate.
+
+        The acceptance below takes the best CD over BOTH stages: under
+        partial overlap the p2pl linearisation can be dragged off the true
+        pose by correspondences into the missing region (measured: p2p CD
+        1.08 -> p2pl 1.71 on a 30%-cropped fixture), and the reference's
+        best-CD-over-restarts loop equally never accepts a refinement that
+        worsened its score."""
         s, R, t = icp_point_to_point(src_pts, tree, tgt_pts, R0, thresholds)
-        s, R, t = icp_point_to_plane(src_pts, tree, tgt_pts, tgt_nrm,
-                                     s, R, t, thresholds[-1])
-        return s, R, t
+        yield s, R, t
+        yield icp_point_to_plane(src_pts, tree, tgt_pts, tgt_nrm,
+                                 s, R, t, thresholds[-1])
 
     inits = [np.eye(3)] + pca_init_rotations(src_pts, tgt_pts)
     n_random = max(num_iters - len(inits) + 1, 0)
@@ -233,7 +241,8 @@ def compute_icp_metrics(
 
     best = None
     for R0 in inits:
-        m = metrics_for(*run_from(R0))
-        if best is None or m[0] < best[0]:
-            best = m
+        for est in run_from(R0):
+            m = metrics_for(*est)
+            if best is None or m[0] < best[0]:
+                best = m
     return best

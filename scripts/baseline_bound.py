@@ -1,0 +1,179 @@
+"""Derive the PyTorch-reference throughput anchor from measurements.
+
+Replaces the bare ASSUMED_BASELINE_RAYS_PER_SEC = 3500 guess (bench.py) with
+a measured, documented derivation:
+
+1. Run the REFERENCE'S OWN modules (imported from /root/reference/code —
+   ImplicitNet fwd + .gradient() double-backward, RenderingNet, the
+   ErrorBoundSampler's per-round SDF query shapes) on this CPU at the
+   reference's default training shape (1,280 rays x its sampler/sample
+   counts x 3 nodes), under torch eager exactly as the reference runs them.
+2. Measure this machine's practically attainable torch-eager matmul peak
+   (big GEMM, same dtype) — the fraction (1)/(2) is the reference pipeline's
+   achieved fraction-of-peak, a property of its *structure* (chunked eager
+   kernels, python-loop sampler, autograd double-backward), not of the chip.
+3. Transfer: grant the reference the SAME fraction of an A100's TF32 peak
+   (156 TFLOP/s — torch on Ampere uses TF32 matmul by default in the
+   reference's era) and convert through the logical FLOPs/ray of the
+   identical math (XLA cost analysis, bench.py).  Granting a GPU the CPU's
+   fraction-of-peak is generous to the reference: eager overheads (kernel
+   launch, python) bite harder at GPU speeds.
+
+Writes BASELINE_BOUND.json at the repo root; bench.py uses its
+`baseline_rays_per_sec` as the vs_baseline anchor when present.
+
+Run:  python scripts/baseline_bound.py
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference/code"
+
+A100_TF32_TFLOPS = 156.0
+A100_FP32_TFLOPS = 19.5
+
+# reference default training shape: 1,280 rays/step
+# (batch 5 pairs x num_sample 128; code/src/utils/parser.py:26-30,87-89)
+RAYS = 1280
+N_FINAL = 98          # N_samples 64 + N_samples_extra 32 + near/far bookends
+N_EVAL = 128          # N_samples_eval per upsample round
+SAMPLER_ROUNDS = 5    # max_total_iters (+1 initial eval round)
+NODES = 3             # right hand + object (+ background net at bg samples)
+
+
+def time_fn(fn, iters=3, warmup=1):
+    for _ in range(warmup):
+        fn()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return (time.perf_counter() - t0) / iters
+
+
+def measure_reference_step(torch):
+    """Wall-clock the reference's own modules at its per-step shapes."""
+    sys.path.insert(0, REF)
+    from src.model.mano.specs import mano_specs
+    from src.networks.shape_net import ImplicitNet
+    from src.networks.texture_net import RenderingNet
+
+    class _Opt(dict):
+        __getattr__ = dict.__getitem__
+
+    imp_opt = _Opt(
+        feature_vector_size=256, d_in=3, d_out=1,
+        dims=[256] * 8, geometric_init=True, bias=0.6, skip_in=[4],
+        weight_norm=True, multires=6, cond="pose", init="geometry",
+    )
+    rend_opt = _Opt(
+        feature_vector_size=256, mode="pose", d_in=9, d_out=3,
+        dims=[256] * 4, weight_norm=True, multires_view=-1,
+        dim_frame_encoding=32,
+    )
+    args = _Opt({})
+    imp = ImplicitNet(imp_opt, args, mano_specs)
+    rend = RenderingNet(rend_opt, args, mano_specs)
+
+    n_shade = RAYS * N_FINAL
+    n_query = RAYS * N_EVAL  # per sampler round
+
+    x_shade = torch.randn(n_shade, 3)
+    cond = {"pose": torch.zeros(1, 45)}
+    x_query = torch.randn(n_query, 3)
+
+    def sampler_round():  # no_grad SDF query, one round (x NODES x ROUNDS)
+        with torch.no_grad():
+            imp(x_query, cond)
+
+    def shade_fwd_bwd():  # per node: fwd + .gradient double-backward + color
+        x = x_shade.clone().requires_grad_(True)
+        out = imp(x, cond)
+        sdf, feat = out[:, :1], out[:, 1:]
+        (g,) = torch.autograd.grad(
+            sdf.sum(), x, create_graph=True, retain_graph=True)
+        normals = torch.nn.functional.normalize(g, dim=-1)
+        body_pose = torch.zeros(n_shade, 45)
+        rgb = rend(
+            x, normals, None, body_pose, None, feat,
+        )
+        loss = rgb.mean() + sdf.abs().mean() + (g.norm(dim=-1) - 1).pow(2).mean()
+        loss.backward()
+
+    t_sampler = time_fn(sampler_round) * SAMPLER_ROUNDS * NODES
+    t_shade = time_fn(shade_fwd_bwd, iters=2) * NODES
+    return t_sampler + t_shade, {"t_sampler_s": t_sampler, "t_shade_s": t_shade}
+
+
+def measure_cpu_matmul_peak(torch):
+    """Attainable torch-eager f32 GEMM throughput on this host (TFLOP/s)."""
+    n = 2048
+    a = torch.randn(n, n)
+    b = torch.randn(n, n)
+    dt = time_fn(lambda: a @ b, iters=5, warmup=2)
+    return 2 * n**3 / dt / 1e12
+
+
+def logical_flops_per_ray():
+    """FLOPs/ray of the identical math, from the bench's XLA cost analysis
+    (kept in the most recent BENCH_r*.json) — falls back to the analytic
+    figure recorded there across rounds (3.66 GF/ray)."""
+    import glob
+
+    best = None
+    for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        try:
+            d = json.load(open(p))
+            v = (d.get("parsed") or d).get("flops_per_ray")
+            if v:
+                best = float(v)
+        except Exception:
+            pass
+    return best or 3.66e9
+
+
+def main():
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    step_s, parts = measure_reference_step(torch)
+    cpu_rays_per_s = RAYS / step_s
+    cpu_peak_tf = measure_cpu_matmul_peak(torch)
+    fpr = logical_flops_per_ray()
+    achieved_tf = cpu_rays_per_s * fpr / 1e12
+    frac = achieved_tf / cpu_peak_tf
+
+    est = {
+        "a100_tf32_same_fraction": frac * A100_TF32_TFLOPS * 1e12 / fpr,
+        "a100_fp32_same_fraction": frac * A100_FP32_TFLOPS * 1e12 / fpr,
+    }
+    # anchor: the GENEROUS end (TF32 peak, full CPU-measured fraction) —
+    # biases vs_baseline AGAINST us
+    anchor = est["a100_tf32_same_fraction"]
+    out = {
+        "method": "reference-modules-on-CPU fraction-of-peak transfer "
+                  "(scripts/baseline_bound.py)",
+        "reference_cpu_step_s": step_s,
+        "reference_cpu_rays_per_s": cpu_rays_per_s,
+        "parts": parts,
+        "cpu_attainable_matmul_tflops": cpu_peak_tf,
+        "reference_achieved_tflops": achieved_tf,
+        "fraction_of_peak": frac,
+        "logical_flops_per_ray": fpr,
+        "estimates_rays_per_s": est,
+        "baseline_rays_per_sec": anchor,
+        "torch_version": torch.__version__,
+        "cpu_count": os.cpu_count(),
+    }
+    path = os.path.join(REPO, "BASELINE_BOUND.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    print(f"\nwrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -11,9 +11,12 @@ Usage:
   python scripts/xplane_leaves.py <trace_dir_or_json.gz> [top_n] [parent_filter]
 """
 
+import os
 import re
 import sys
 from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from xplane_ops import find_trace
 
@@ -52,8 +55,23 @@ def main(path: str, top: int = 30, parent_filter: str = "") -> None:
                 if parent_filter in e["name"]:
                     windows.append((e["ts"], e["ts"] + e["dur"]))
         windows.sort()
+        # merge overlapping/adjacent windows into disjoint intervals: with
+        # multiple device tracks each carries its own jit-scope span, and an
+        # unmerged bisect would test only the latest-starting window,
+        # silently dropping spans inside an earlier, longer one
+        merged = []
+        for s, t in windows:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], t)
+            else:
+                merged.append([s, t])
+        windows = [(s, t) for s, t in merged]
 
     def in_window(ts: float) -> bool:
+        # containment is tested on the span's START timestamp only: a leaf op
+        # straddling a window edge is counted (or excluded) in full.  Edge
+        # spans are rare and short relative to jit-scope windows, so the
+        # approximation skews attribution by well under the noise floor.
         if not parent_filter:
             return True
         import bisect
@@ -99,7 +117,6 @@ def main(path: str, top: int = 30, parent_filter: str = "") -> None:
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, __file__.rsplit("/", 1)[0])
     main(
         sys.argv[1],
         int(sys.argv[2]) if len(sys.argv) > 2 else 30,

@@ -23,3 +23,34 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+# Two-tier suite: `pytest -m fast` is the <90 s CPU tier (losses, LBS,
+# sampler parity, config, transforms, ...); the full suite includes the
+# multi-minute golden/e2e modules below and is the nightly-style run.
+SLOW_MODULES = {
+    "test_e2e",           # end-to-end training loops
+    "test_knn",           # Pallas-vs-XLA KNN goldens (interpret mode)
+    "test_sharding",      # 8-device jit compiles incl. full train steps
+    "test_fused_query",   # fused sampler kernel interpret-mode goldens
+    "test_fused_render",  # fused render kernel interpret-mode goldens
+    "test_fitting",       # silhouette-fitting optimization loops
+    "test_two_hands",     # two-hand scene end-to-end
+    "test_eval_metrics",  # multi-restart ICP trials
+    "test_sampler_parity",  # unrolled VolSDF loop vs NumPy transcription
+    "test_golden_parity",   # MANO/LBS/bg goldens (jit-heavy)
+    "test_meshing",       # native MISE octree sweeps
+    "test_generator",     # register/align optimization loops
+    "test_real_data_paths",  # real-format fixture builds
+    "test_arctic",        # ARCTIC pipeline fixtures
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)

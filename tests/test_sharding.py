@@ -1,7 +1,23 @@
+import importlib.util
+import os
+
 import jax
+import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hold_tpu.parallel.sharding import batch_shardings, make_mesh, shard_batch
+
+
+def _graft_module():
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def test_mesh_and_batch_sharding():
@@ -27,14 +43,137 @@ def test_mesh_and_batch_sharding():
 
 def test_graft_dryrun_multichip():
     """The driver's multichip validation entry must pass on the 8-dev CPU mesh."""
-    import importlib.util
-    import os
+    _graft_module().dryrun_multichip(8)
 
-    spec = importlib.util.spec_from_file_location(
-        "graft_entry",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "__graft_entry__.py"),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    mod.dryrun_multichip(8)
+
+def _loss_and_grads_fn(scene, mesh_state):
+    """Jittable (params, batch, key) -> (loss, grads) for equivalence checks.
+
+    Runs the full two-stage step (sampler + render/loss) with fixed step=0,
+    epoch=0 so the only degrees of freedom are the inputs and their sharding.
+    """
+    from hold_tpu.models.holdnet import holdnet_forward, sample_all_z
+    from hold_tpu.models.losses import compute_losses
+
+    def fn(params, batch, key):
+        step = jnp.asarray(0)
+        epoch = jnp.asarray(0)
+        k1, k2 = jax.random.split(key)
+        z = sample_all_z(params, scene, batch, k1, step, epoch, training=True)
+        z = jax.tree_util.tree_map(jax.lax.stop_gradient, z)
+
+        def loss_fn(p):
+            out = holdnet_forward(
+                p, scene, batch, mesh_state, k2, step, epoch, training=True,
+                z_vals_dict=z,
+            )
+            return compute_losses(batch, out, scene.node_ids, step)["loss"]
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    return fn
+
+
+def _run_equivalence(two_hands: bool):
+    """Same params, same batch: an 8-device mesh step must reproduce the
+    1-device loss AND gradients within float32 reduction-order tolerance.
+
+    This is the actual multi-chip correctness contract (SURVEY §2.5) — the
+    dryrun only certifies finiteness; this certifies the psum-inserted
+    gradient math is the same function."""
+    mod = _graft_module()
+    if two_hands:
+        from hold_tpu.data.dataset import SequenceData
+        from hold_tpu.data.synthetic import generate_sequence
+
+        root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data")
+        case = "toy2h_shard"
+        if not os.path.exists(os.path.join(root, case, "build", "data.npy")):
+            generate_sequence(os.path.join(root, case), n_frames=4,
+                              img_hw=(72, 96), two_hands=True)
+        seq = SequenceData(case, root, num_sample=16)
+    else:
+        seq = mod._toy_sequence()
+    scene, params, mesh_state, _ = mod._build(seq)
+    assert ("left" in scene.node_ids) == two_hands
+
+    fn = _loss_and_grads_fn(scene, mesh_state)
+    rng = np.random.RandomState(0)
+    batch_np = seq.sample_tempo_batch(rng, batch_size=1, num_sample=16)
+    key = jax.random.PRNGKey(7)
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(n_dev)
+        with mesh:
+            batch = shard_batch(batch_np, mesh)
+            loss, grads = jax.jit(fn)(params, batch, key)
+        results[n_dev] = (float(loss), jax.device_get(grads))
+
+    loss1, g1 = results[1]
+    loss8, g8 = results[8]
+    assert np.isfinite(loss1)
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
+
+    leaves1, tree1 = jax.tree_util.tree_flatten_with_path(g1)
+    leaves8 = jax.tree_util.tree_leaves(g8)
+    assert len(leaves1) == len(leaves8)
+    checked = 0
+    for (path, a), b in zip(leaves1, leaves8):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(
+            b, a, rtol=2e-4, atol=2e-4 * scale,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+        checked += 1
+    assert checked > 20  # nets + tables + density + background all covered
+
+
+def test_shard_batch_multihost_branch(monkeypatch):
+    """Exercise the make_array_from_callback path (parallel/sharding.py)
+    that only multi-process runs take: mock process_count > 1 and assert the
+    per-shard contents equal the single-process device_put result.
+
+    The contract being tested: every process draws the IDENTICAL global
+    batch, and each materialises only its local shards — so the assembled
+    global array must be bit-identical to the replicated-path array."""
+    import hold_tpu.parallel.sharding as sh
+
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(3)
+    batch = {
+        "uv": rng.rand(2, 16, 2).astype(np.float32),
+        "gt_rgb": rng.rand(32, 3).astype(np.float32),
+        "gt_mask": (rng.rand(32) > 0.5).astype(np.float32),
+        "frame_idx": np.arange(2, dtype=np.int32),
+        "intrinsics": rng.rand(2, 4, 4).astype(np.float32),
+        "extrinsics": rng.rand(2, 4, 4).astype(np.float32),
+        "scene_scale": np.float32(1.5),
+    }
+    with mesh:
+        single = sh.shard_batch(batch, mesh)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        multi = sh.shard_batch(batch, mesh)
+
+    for k in batch:
+        a, b = single[k], multi[k]
+        assert a.sharding.is_equivalent_to(b.sharding, a.ndim), k
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=k)
+        # per-shard contents: each addressable shard holds exactly the
+        # global-array slice its index selects
+        for shard in b.addressable_shards:
+            np.testing.assert_array_equal(
+                np.asarray(shard.data), np.asarray(batch[k])[shard.index],
+                err_msg=f"{k} shard {shard.index}",
+            )
+
+
+def test_multidevice_matches_single():
+    _run_equivalence(two_hands=False)
+
+
+def test_multidevice_matches_single_two_hands():
+    _run_equivalence(two_hands=True)
