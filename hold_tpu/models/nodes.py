@@ -233,10 +233,46 @@ def mano_node_forward(
 
     # inverse forward-skinning Jacobian at canonical points: weights queried
     # against the CANONICAL verts (deformer.py:70-82), same fused treatment
-    Jinv9 = knn_jacobian_inverse(
+    Jinv9_bn = knn_jacobian_inverse(
         x_c, verts_c, skin_w, tfs, K=plans.knn_k,
-    ).reshape(-1, 9)
+    ).reshape(B, P * S_f, 9)
 
+    if _use_fused_shade(plans):
+        # whole per-point shade (PE + trunk + heads + in-kernel normals +
+        # color) as ONE custom-VJP Pallas op: forward saves only its inputs,
+        # backward recomputes in VMEM (ops/fused_shade.py)
+        from ..ops.fused_query import pack_trunk_weights
+        from ..ops.fused_render import (
+            frame_bias0, pack_color_weights, pack_trunk_transposed,
+        )
+        from ..ops.fused_shade import fused_shade_train
+        from .mlp import _apply_linear as _lin_fs
+
+        pe = _lin_fs(nparams["rendering"]["lin_pose"], cond_pose).astype(
+            jnp.float32
+        )
+        sdf_bn, rgb_bn, nrm_bn = fused_shade_train(
+            x_c, Jinv9_bn, frame_bias0(nparams["rendering"], pe),
+            _fused_embed_plan(plans, step),
+            pack_trunk_weights(nparams["implicit"], plans.implicit),
+            pack_trunk_transposed(nparams["implicit"], plans.implicit),
+            pack_color_weights(nparams["rendering"], nparams["implicit"]),
+            interpret=_fused_train_interpret(),
+        )
+        return _node_outputs(
+            plans, z_vals, sdf_bn.reshape(-1), rgb_bn.reshape(-1, 3),
+            nrm_bn.reshape(-1, 3), nparams, B, P, S_f,
+        ), {
+            "canonical_pts": x_c_flat.reshape(B, P, S_f, 3),
+            "cond_pose": cond_pose,
+            "tfs": tfs,
+            "verts_posed": verts_posed,
+            "v_posed": srv_out.v_posed,
+            "jnts": srv_out.jnts,
+            "outlier": outlier,
+        }
+
+    Jinv9 = Jinv9_bn.reshape(-1, 9)
     view = -jnp.broadcast_to(
         ray_dirs[:, None, :], (B * P, S_f, 3)
     ).reshape(-1, 3)
@@ -414,6 +450,36 @@ def object_node_forward(
     x_c_flat = x_c.reshape(-1, 3)
     N_pts = B * P * S_f
 
+    if _use_fused_shade(plans):
+        from ..ops.fused_query import pack_trunk_weights
+        from ..ops.fused_render import (
+            frame_bias0, pack_color_weights, pack_trunk_transposed,
+        )
+        from ..ops.fused_shade import fused_shade_train
+
+        Rinv_fs = inverse_mat3(tfs[:, :3, :3])  # (B,3,3), grads flow to tfs
+        jinv_bn = jnp.broadcast_to(
+            Rinv_fs.reshape(B, 1, 9), (B, P * S_f, 9)
+        )
+        sdf_bn, rgb_bn, nrm_bn = fused_shade_train(
+            x_c, jinv_bn,
+            frame_bias0(nparams["rendering"],
+                        jnp.zeros((B, 8), jnp.float32), time_code=time_code),
+            _fused_embed_plan(plans, step),
+            pack_trunk_weights(nparams["implicit"], plans.implicit),
+            pack_trunk_transposed(nparams["implicit"], plans.implicit),
+            pack_color_weights(nparams["rendering"], nparams["implicit"]),
+            interpret=_fused_train_interpret(),
+        )
+        return _node_outputs(
+            plans, z_vals, sdf_bn.reshape(-1), rgb_bn.reshape(-1, 3),
+            nrm_bn.reshape(-1, 3), nparams, B, P, S_f,
+        ), {
+            "canonical_pts": x_c.reshape(B, P, S_f, 3),
+            "tfs": tfs,
+            "verts_posed": srv_out.verts,
+        }
+
     # rigid deformer: J = R (constant per frame), n = g R^-1 per point
     Rinv = inverse_mat3(tfs[:, :3, :3])  # (B, 3, 3)
     rinv_pp = jnp.broadcast_to(
@@ -470,6 +536,44 @@ def object_node_forward(
         "verts_posed": srv_out.verts,
     }
     return factors, sample_dict
+
+
+def _node_outputs(plans, z_vals, sdf_flat, rgb, normals, nparams, B, P, S_f):
+    """Factors dict shared by the fused and chunked shade paths."""
+    density = laplace_density(nparams["density"], sdf_flat).reshape(
+        B * P, S_f, 1
+    )
+    semantics = jnp.zeros((B * P, S_f, MAX_CLASS)).at[
+        :, :, plans.class_id
+    ].set(1.0)
+    return {
+        "color": rgb.reshape(B * P, S_f, 3),
+        "normal": normals.reshape(B * P, S_f, 3),
+        "density": density,
+        "semantics": semantics,
+        "z_vals": z_vals,
+    }
+
+
+def _use_fused_shade(plans: NodePlans) -> bool:
+    """Fused training-shade kernel: TPU only, supported net shapes only.
+    HOLD_NO_FUSED_TRAIN=1 forces the chunked XLA path (A/B runs);
+    HOLD_FUSED_TRAIN=interpret forces the kernel in interpret mode on any
+    backend (CPU end-to-end verification of the integration wiring)."""
+    if os.environ.get("HOLD_NO_FUSED_TRAIN"):
+        return False
+    if (
+        jax.devices()[0].platform != "tpu"
+        and os.environ.get("HOLD_FUSED_TRAIN") != "interpret"
+    ):
+        return False
+    from ..ops.fused_render import supports_fused_render
+
+    return supports_fused_render(plans.implicit, plans.rendering)
+
+
+def _fused_train_interpret() -> bool:
+    return os.environ.get("HOLD_FUSED_TRAIN") == "interpret"
 
 
 def _shade_remat() -> bool:

@@ -57,12 +57,16 @@ def time_fn(fn, iters=3, warmup=1):
 def measure_reference_step(torch):
     """Wall-clock the reference's own modules at its per-step shapes."""
     sys.path.insert(0, REF)
-    from src.model.mano.specs import mano_specs
     from src.networks.shape_net import ImplicitNet
     from src.networks.texture_net import RenderingNet
 
     class _Opt(dict):
         __getattr__ = dict.__getitem__
+
+    # src.model.mano.specs needs easydict (not in this image); transcribe the
+    # two fields the nets read (pose_dim, embedding) — values from
+    # /root/reference/code/src/model/mano/specs.py:5-12
+    mano_specs = _Opt(pose_dim=45, embedding="fourier")
 
     imp_opt = _Opt(
         feature_vector_size=256, d_in=3, d_out=1,
@@ -70,20 +74,20 @@ def measure_reference_step(torch):
         weight_norm=True, multires=6, cond="pose", init="geometry",
     )
     rend_opt = _Opt(
-        feature_vector_size=256, mode="pose", d_in=9, d_out=3,
+        feature_vector_size=256, mode="pose", d_in=14, d_out=3,
         dims=[256] * 4, weight_norm=True, multires_view=-1,
         dim_frame_encoding=32,
     )
-    args = _Opt({})
+    args = _Opt(barf_s=1000, barf_e=10000, no_barf=False)
     imp = ImplicitNet(imp_opt, args, mano_specs)
     rend = RenderingNet(rend_opt, args, mano_specs)
 
     n_shade = RAYS * N_FINAL
     n_query = RAYS * N_EVAL  # per sampler round
 
-    x_shade = torch.randn(n_shade, 3)
+    x_shade = torch.randn(1, n_shade, 3)
     cond = {"pose": torch.zeros(1, 45)}
-    x_query = torch.randn(n_query, 3)
+    x_query = torch.randn(1, n_query, 3)
 
     def sampler_round():  # no_grad SDF query, one round (x NODES x ROUNDS)
         with torch.no_grad():
@@ -91,14 +95,14 @@ def measure_reference_step(torch):
 
     def shade_fwd_bwd():  # per node: fwd + .gradient double-backward + color
         x = x_shade.clone().requires_grad_(True)
-        out = imp(x, cond)
+        out = imp(x, cond)[0]  # (N, 257)
         sdf, feat = out[:, :1], out[:, 1:]
         (g,) = torch.autograd.grad(
             sdf.sum(), x, create_graph=True, retain_graph=True)
-        normals = torch.nn.functional.normalize(g, dim=-1)
-        body_pose = torch.zeros(n_shade, 45)
+        normals = torch.nn.functional.normalize(g[0], dim=-1)
+        body_pose = torch.zeros(1, 45)
         rgb = rend(
-            x, normals, None, body_pose, None, feat,
+            x[0], normals, None, body_pose, feat,
         )
         loss = rgb.mean() + sdf.abs().mean() + (g.norm(dim=-1) - 1).pow(2).mean()
         loss.backward()
