@@ -23,3 +23,13 @@ import os as _os
 # parallel region, hence here — every CLI, test, and library path imports
 # hold_tpu before touching cv2.
 _os.environ.setdefault("OPENCV_FOR_THREADS_NUM", "1")
+
+# HOLD_PLATFORM=cpu forces JAX onto the host backend.  The TPU PJRT plugin in
+# this environment force-prepends itself to jax_platforms, so a plain
+# JAX_PLATFORMS=cpu export is NOT honored — the config must be updated after
+# importing jax.  This lets any CLI (visualize_ckpt, evaluate, ...) run on
+# CPU while the one TPU chip is busy with a long training run.
+if _os.environ.get("HOLD_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["HOLD_PLATFORM"])

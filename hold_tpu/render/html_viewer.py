@@ -102,7 +102,9 @@ _TEMPLATE = r"""<!doctype html>
  <span id="label"></span><br>
  <label><input id="bb" type="checkbox" checked> video billboard</label>
  <label style="margin-left:10px"><input id="cams" type="checkbox" checked> cameras</label>
- <span style="margin-left:10px;opacity:.6">drag: orbit &middot; wheel: zoom &middot; right-drag: pan</span>
+ <label style="margin-left:10px"><input id="follow" type="checkbox"> view from camera</label>
+ <span id="ents" style="margin-left:10px"></span>
+ <span style="margin-left:10px;opacity:.6">drag: orbit &middot; wheel: zoom &middot; right-drag: pan &middot; &larr;/&rarr;: frame</span>
 </div>
 <script>
 const SCENE = __SCENE_JSON__;
@@ -194,6 +196,18 @@ cv.addEventListener('wheel',e=>{dist*=Math.exp(e.deltaY*.001);});
 const slider=document.getElementById('frame');slider.max=NF-1;
 slider.oninput=()=>{frame=+slider.value;};
 document.getElementById('play').onclick=()=>{playing=!playing;};
+addEventListener('keydown',e=>{ // frame scrub from the keyboard
+ if(e.key==='ArrowRight'){frame=(frame+1)%NF;slider.value=frame;}
+ if(e.key==='ArrowLeft'){frame=(frame+NF-1)%NF;slider.value=frame;}
+ if(e.key===' '){playing=!playing;e.preventDefault();}});
+// per-entity visibility toggles (aitviewer scene-tree workflow analog)
+const vis={};
+for(const n of nodes){vis[n.id]=true;
+ const l=document.createElement('label');l.style.marginLeft='10px';
+ const c=document.createElement('input');c.type='checkbox';c.checked=true;
+ c.onchange=()=>{vis[n.id]=c.checked;};
+ l.appendChild(c);l.appendChild(document.createTextNode(' '+n.id));
+ document.getElementById('ents').appendChild(l);}
 let quadB=gl.createBuffer();
 
 function drawMesh(n,fi){
@@ -227,12 +241,22 @@ function draw(ts){
  if(playing&&ts-last>100){frame=(frame+1)%NF;slider.value=frame;last=ts;}
  gl.enable(gl.DEPTH_TEST);gl.clearColor(.086,.086,.1,1);
  gl.clear(gl.COLOR_BUFFER_BIT|gl.DEPTH_BUFFER_BIT);
- const eye=[ctr[0]+pan[0]+dist*Math.cos(el)*Math.sin(az),
-            ctr[1]+pan[1]+dist*Math.sin(el),
-            ctr[2]+pan[2]+dist*Math.cos(el)*Math.cos(az)];
- const V=lookat(eye,[ctr[0]+pan[0],ctr[1]+pan[1],ctr[2]+pan[2]],[0,1,0]);
- MVP=mul(persp(.9,cv.width/cv.height,rad*.01,rad*40),V);
- for(const n of nodes)drawMesh(n,frame);
+ if(document.getElementById('follow').checked){
+  // look through the ACTIVE TRAINING CAMERA: OpenCV w2c (x right, y down,
+  // z forward, row-major) -> GL view = diag(1,-1,-1) * w2c, column-major
+  const m=w2c.subarray(frame*16,frame*16+16);
+  const V=new Float32Array([m[0],-m[4],-m[8],0, m[1],-m[5],-m[9],0,
+                            m[2],-m[6],-m[10],0, m[3],-m[7],-m[11],1]);
+  const fy=2*Math.atan(SCENE.img_hw[0]/(2*SCENE.K[1][1]));
+  MVP=mul(persp(fy,cv.width/cv.height,rad*.01,rad*40),V);
+ }else{
+  const eye=[ctr[0]+pan[0]+dist*Math.cos(el)*Math.sin(az),
+             ctr[1]+pan[1]+dist*Math.sin(el),
+             ctr[2]+pan[2]+dist*Math.cos(el)*Math.cos(az)];
+  const V=lookat(eye,[ctr[0]+pan[0],ctr[1]+pan[1],ctr[2]+pan[2]],[0,1,0]);
+  MVP=mul(persp(.9,cv.width/cv.height,rad*.01,rad*40),V);
+ }
+ for(const n of nodes)if(vis[n.id])drawMesh(n,frame);
  if(document.getElementById('cams').checked){
   gl.useProgram(PL);gl.bindBuffer(gl.ARRAY_BUFFER,camBuf);
   const lp=gl.getAttribLocation(PL,'p');gl.enableVertexAttribArray(lp);

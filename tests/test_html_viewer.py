@@ -53,3 +53,31 @@ def test_export_html_is_self_contained(tmp_path):
     parsed = json.loads(m.group(1))
     assert parsed["n_frames"] == 5
     assert "webgl2" in html
+
+
+def test_export_html_interactive_controls(tmp_path):
+    """Viewer workflow parity (reference common/viewer.py:42-301): frame
+    scrub + play, per-entity visibility toggles, view-from-training-camera,
+    billboard + camera-frusta toggles, keyboard scrubbing."""
+    verts, faces, w2c, K, imgs = _tiny_scene()
+    blob = pack_scene(
+        {"right": (verts, faces), "object": (verts, faces)},
+        w2c, K, (60, 80), images=imgs,
+    )
+    p = export_html_viewer(str(tmp_path / "v.html"), blob)
+    html = open(p).read()
+    for ctrl in ('id="frame"', 'id="play"', 'id="bb"', 'id="cams"',
+                 'id="follow"', 'id="ents"', "ArrowRight", "ArrowLeft"):
+        assert ctrl in html, f"missing control {ctrl}"
+    # per-entity toggles are built from SCENE.nodes at runtime; both node
+    # ids must be present in the embedded blob
+    ids = [n["id"] for n in json.loads(
+        re.search(r"const SCENE = (\{.*?\});\n", html, re.S).group(1)
+    )["nodes"]]
+    assert ids == ["right", "object"]
+    # sanity: script block has balanced braces/parens (catches template
+    # edit slips without a JS engine in the image)
+    script = html.split("<script>")[1].split("</script>")[0]
+    body = re.sub(r"const SCENE = \{.*?\};\n", "", script, flags=re.S)
+    for o, c in ("{}", "()", "[]"):
+        assert body.count(o) == body.count(c), f"unbalanced {o}{c}"
