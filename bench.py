@@ -5,11 +5,16 @@ Extras: per-shape scaling grid (rays -> rays/s with sampler/grad stage split)
 and an MFU estimate from XLA's cost analysis against the chip's peak.
 
 Baseline note: the reference publishes no throughput numbers (BASELINE.md).
-We anchor vs_baseline to an estimated PyTorch-reference training rate of
-3,500 rays/s on a single A100-class GPU, derived from the reference's default
-budget (80k steps x 1,280 rays/step, code/src/utils/parser.py:26-30,87-89)
-and a ~8h wall-clock for the default 200-epoch run.  Until a measured torch
-baseline exists this is an estimate, clearly labelled here.
+vs_baseline is anchored to BASELINE_BOUND.json when present — a MEASURED
+bound: scripts/baseline_bound.py wall-clocks the reference's own torch
+modules (ImplicitNet double-backward + RenderingNet) at the per-step shapes
+on this CPU, computes the fraction of attainable matmul peak the reference
+achieves, and transfers that fraction to A100 TF32 peak (156 TFLOP/s).  This
+is deliberately GENEROUS to the baseline (assumes the reference's GPU code
+hits the same fraction of peak with zero overheads).  Fallback when the
+bound file is absent: the round-1/2/3 estimate of 3,500 rays/s derived from
+the reference's default budget (80k steps x 1,280 rays/step,
+code/src/utils/parser.py:26-30,87-89) and a ~8h default-run wall-clock.
 """
 
 import json
@@ -20,6 +25,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ASSUMED_BASELINE_RAYS_PER_SEC = 3500.0
+
+
+def _baseline_anchor():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_BOUND.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            bound = json.load(f)
+        return bound["baseline_rays_per_sec"], "measured_bound"
+    return ASSUMED_BASELINE_RAYS_PER_SEC, "assumed"
 
 # bf16 peak TFLOP/s per chip by device kind (MFU denominator)
 PEAK_BF16_TFLOPS = {
@@ -106,16 +121,16 @@ def main():
     rng = np.random.RandomState(0)
     iters = 10
     grid = []
-    flops_per_step = None
+    stage_cost = None
     # reference-default shape is 1,280 rays (batch 5 pairs x 128); bigger
-    # shapes amortize fixed costs — report the full curve.  20,480 rays is
-    # excluded from the default grid: the grad stage needs 25.0 GB of HBM vs
-    # the v5e's 15.75 GB (measured via scripts/repro_20k.py), and throughput
-    # already flattens at 10,240 (11.5k -> 12.3k rays/s from 5,120 -> 10,240).
+    # shapes amortize fixed costs — report the full curve.  20,480 is
+    # ATTEMPTED and reported honestly either way: the chunked-XLA grad stage
+    # needed 25.0 GB of HBM vs the v5e's 15.75 GB; the fused training-shade
+    # kernel (ops/fused_shade.py) was built to break exactly that ceiling.
     shapes = tuple(
         int(s)
         for s in os.environ.get(
-            "BENCH_SHAPES", "1280,5120,10240"
+            "BENCH_SHAPES", "1280,5120,10240,20480"
         ).split(",")
     )
     failed = []
@@ -145,29 +160,39 @@ def main():
                            if idx >= 0 else msg[:160]})
             continue
 
-        if flops_per_step is None:
-            # analytic flops from XLA's cost model (both stages)
-            try:
-                c1 = sample_fn.lower(
-                    params, batch, key, jnp.asarray(0), jnp.asarray(0)
-                ).compile().cost_analysis()
-                c2 = grad_fn.lower(
-                    params, opt_state, batch, mesh_state, z, key,
-                    jnp.asarray(0), jnp.asarray(0)
-                ).compile().cost_analysis()
-                if isinstance(c1, list):
-                    c1, c2 = c1[0], c2[0]
-                flops = c1.get("flops", 0) + c2.get("flops", 0)
-                # Pallas kernels report zero flops to the cost model; add the
-                # fused sampler queries analytically (ops/fused_query.py)
-                if jax.devices()[0].platform == "tpu":
-                    from hold_tpu.ops.fused_query import (
-                        sampler_query_flops_per_step,
-                    )
-                    flops += sampler_query_flops_per_step(scene, rays)
-                flops_per_ray = flops / rays
-            except Exception:
-                flops_per_ray = None
+        # per-stage cost analysis at the LARGEST shape that runs: XLA's cost
+        # model (flops + bytes) plus analytic FLOPs for the Pallas kernels,
+        # which report zero to the cost model (ops/fused_query.py,
+        # ops/fused_shade.py)
+        try:
+            c1 = sample_fn.lower(
+                params, batch, key, jnp.asarray(0), jnp.asarray(0)
+            ).compile().cost_analysis()
+            c2 = grad_fn.lower(
+                params, opt_state, batch, mesh_state, z, key,
+                jnp.asarray(0), jnp.asarray(0)
+            ).compile().cost_analysis()
+            if isinstance(c1, list):
+                c1, c2 = c1[0], c2[0]
+            f_s, f_g = c1.get("flops", 0), c2.get("flops", 0)
+            b_s = c1.get("bytes accessed", 0)
+            b_g = c2.get("bytes accessed", 0)
+            if jax.devices()[0].platform == "tpu":
+                from hold_tpu.ops.fused_query import (
+                    sampler_query_flops_per_step,
+                )
+                from hold_tpu.ops.fused_shade import (
+                    shade_train_flops_per_step,
+                )
+                f_s += sampler_query_flops_per_step(scene, rays)
+                if not os.environ.get("HOLD_NO_FUSED_TRAIN"):
+                    f_g += shade_train_flops_per_step(scene, rays)
+            stage_cost = {
+                "rays": rays, "sampler_flops": f_s, "grad_flops": f_g,
+                "sampler_xla_bytes": b_s, "grad_xla_bytes": b_g,
+            }
+        except Exception:
+            pass
         # Timing notes for the tunneled TPU backend: block_until_ready is the
         # sync (cheap; matches profiler device spans when healthy), but it
         # has been seen returning early when the tunnel degrades.  A single
@@ -214,20 +239,36 @@ def main():
         }))
         return
     best = max(grid, key=lambda g: g["rays_per_s"])
-    mfu = None
-    if flops_per_ray:
-        mfu = round(
-            best["rays_per_s"] * flops_per_ray / (peak * 1e12), 4
-        )
+    baseline, anchor_kind = _baseline_anchor()
+    mfu = sampler_mfu = grad_mfu = grad_hbm_gbps = fpr = None
+    if stage_cost:
+        # per-stage utilization at the shape the costs were computed for
+        g = next(r for r in grid if r["rays"] == stage_cost["rays"])
+        t_smp, t_grd = g["sampler_ms"] / 1e3, g["grad_ms"] / 1e3
+        sampler_mfu = round(
+            stage_cost["sampler_flops"] / t_smp / (peak * 1e12), 4)
+        grad_mfu = round(
+            stage_cost["grad_flops"] / t_grd / (peak * 1e12), 4)
+        # XLA-cost-model bytes only: Pallas kernel traffic is NOT included
+        # (the fused shade moves ~280 B/point + resident weight packs)
+        grad_hbm_gbps = round(stage_cost["grad_xla_bytes"] / t_grd / 1e9, 1)
+        fpr = (stage_cost["sampler_flops"] + stage_cost["grad_flops"]) \
+            / stage_cost["rays"]
+        mfu = round(best["rays_per_s"] * fpr / (peak * 1e12), 4)
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": best["rays_per_s"],
         "unit": "rays/s",
-        "vs_baseline": round(best["rays_per_s"] / ASSUMED_BASELINE_RAYS_PER_SEC, 3),
+        "vs_baseline": round(best["rays_per_s"] / baseline, 3),
+        "baseline_rays_per_s": baseline,
+        "baseline_anchor": anchor_kind,
         "grid": grid,
         "device": kind,
         "mfu_estimate": mfu,
-        "flops_per_ray": round(flops_per_ray) if flops_per_ray else None,
+        "sampler_mfu": sampler_mfu,
+        "grad_mfu": grad_mfu,
+        "grad_hbm_gbps_xla": grad_hbm_gbps,
+        "flops_per_ray": round(fpr) if fpr else None,
         "skipped_shapes": failed or None,
     }))
 

@@ -405,3 +405,42 @@ def fused_shade_train(xc, jinv9, fb0, plan_arr, tw, bw, cw,
     everything except plan_arr."""
     return _fused_shade_train(xc, jinv9, fb0, plan_arr, (tw, bw, cw),
                               xc.shape[1], interpret)
+
+
+# --------------------------------------------------------------------------
+# Analytic cost model
+# --------------------------------------------------------------------------
+
+def shade_train_flops_per_step(scene, n_rays: int) -> float:
+    """Analytic FLOPs/step of the fused training shade (fwd + custom bwd).
+
+    Pallas ops report zero FLOPs to XLA's cost analysis, so once the fused
+    training path is active the grad stage's MFU would be wildly undercounted
+    without this.  Counts only matmul MACs (they dominate): every weight
+    matrix W (m,k) in the three packs costs 2*m*k FLOPs per shaded point in
+    the forward (incl. the in-kernel transposed pass for normals).  The
+    backward RECOMPUTES the forward (1x) and its jax.vjp adds a data-grad and
+    a weight-grad matmul per forward matmul (2x) -> total = 4x forward.
+    Shaded points/ray = N_samples (final z-vals) per node.
+    """
+    # per-point fwd matmul weights: mirror of _shade_tile's dot_generals —
+    # trunk fwd (tw), transposed normal pass + feat (bw), color MLP (cw)
+    E, H, Hp = _EMB_ROWS, 256, 224
+    mac_tw = E * H + 3 * H * H + H * Hp + E * H + 3 * H * H + H  # W0..head
+    mac_bw = 8 * H * H + E * H + H * H  # W*T chain + W4eT + feat_w
+    mac_cw = H * 16 + H * H + 3 * H * H + 8 * H  # C0a,C0f,C1-3,C4
+    fwd_per_pt = 2.0 * (mac_tw + mac_bw + mac_cw)
+    per_pt = 4.0 * fwd_per_pt  # fwd + (recompute + 2x vjp) in bwd
+
+    from .fused_render import supports_fused_render
+
+    total = 0.0
+    cfg = scene.sampler_cfg
+    # final z-vals per ray: N_samples + 2 boundary + N_samples_extra
+    # (render/ray_sampler.py:172)
+    pts_per_ray = cfg.N_samples + 2 + cfg.N_samples_extra
+    for nid in scene.node_ids:
+        plans = scene.plans[nid]
+        if supports_fused_render(plans.implicit, plans.rendering):
+            total += per_pt * pts_per_ray * n_rays
+    return total
