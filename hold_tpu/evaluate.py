@@ -62,6 +62,32 @@ def eval_icp_first_frame(pred, gt, md, num_iters=600):
     return md
 
 
+def eval_icp_every_frame(pred, gt, md, num_iters=10):
+    """Per-frame ICP-aligned CD/F (reference eval_modules.py:75-118): align
+    every valid frame's predicted object against its GT with a SHORT ICP
+    (10 iters there) and nanmean the per-frame metrics.  Not in the default
+    registry (same as the reference) — opt in via --icp_every_frame."""
+    n = len(pred["v3d_ra.object"])
+    valid = np.asarray(gt["is_valid"]).astype(bool)
+    cds, f5s, f10s = [], [], []
+    for i in range(n):
+        if valid[i]:
+            cd, f5, f10 = compute_icp_metrics(
+                gt["v3d_ra.object"][i], gt["faces"]["object"],
+                pred["v3d_ra.object"][i], pred["faces"]["object"],
+                num_iters=num_iters,
+            )
+        else:
+            cd = f5 = f10 = float("nan")
+        cds.append(cd)
+        f5s.append(f5)
+        f10s.append(f10)
+    md["cd_icp"] = float(np.nanmean(cds))
+    md["f5_icp"] = float(np.nanmean(f5s)) * 100.0
+    md["f10_icp"] = float(np.nanmean(f10s)) * 100.0
+    return md
+
+
 EVAL_FN_DICT = {
     "mpjpe_ra_r": eval_mpjpe_right,
     "mrrpe_ho": eval_mrrpe_ho,
@@ -70,7 +96,8 @@ EVAL_FN_DICT = {
 }
 
 
-def run_evaluation(pred, gt, icp_iters: int = 600) -> tuple[dict, dict]:
+def run_evaluation(pred, gt, icp_iters: int = 600,
+                   icp_every_frame: bool = False) -> tuple[dict, dict]:
     metric_dict: dict = {}
     for name, fn in EVAL_FN_DICT.items():
         try:
@@ -79,7 +106,11 @@ def run_evaluation(pred, gt, icp_iters: int = 600) -> tuple[dict, dict]:
             print(f"[eval] skipping {name}: missing {e}")
     if pred["faces"]["object"].shape[0] > 0 and \
        gt["faces"]["object"].shape[0] > 0:
-        metric_dict = eval_icp_first_frame(pred, gt, metric_dict, icp_iters)
+        if icp_every_frame:
+            metric_dict = eval_icp_every_frame(pred, gt, metric_dict)
+        else:
+            metric_dict = eval_icp_first_frame(pred, gt, metric_dict,
+                                               icp_iters)
     mean_metrics = {
         k: float(np.nanmean(v)) for k, v in sorted(metric_dict.items())
     }
@@ -98,6 +129,8 @@ def main():
                     choices=["synthetic", "ho3d"],
                     help="ground-truth source")
     ap.add_argument("--icp_iters", type=int, default=600)
+    ap.add_argument("--icp_every_frame", action="store_true",
+                    help="per-frame short-ICP variant (eval_modules.py:75)")
     args = ap.parse_args()
 
     from .eval.io_pred import gt_from_sequence, load_data
@@ -111,7 +144,8 @@ def main():
 
         gt = load_gt_ho3d(args.case, args.data_root)
 
-    mean_metrics, metric_dict = run_evaluation(pred, gt, args.icp_iters)
+    mean_metrics, metric_dict = run_evaluation(
+        pred, gt, args.icp_iters, icp_every_frame=args.icp_every_frame)
     for k, v in mean_metrics.items():
         print(f"{k.upper()}: {v:.2f}")
 

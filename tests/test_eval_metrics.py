@@ -232,3 +232,30 @@ def test_icp_partial_overlap_oracle():
     )
     assert cd <= oracle * 1.3 + 0.01, (cd, oracle)
     assert f10 > 0.8
+
+
+def test_eval_icp_every_frame_module():
+    """Per-frame ICP registry module (reference eval_modules.py:75-118):
+    valid frames get aligned metrics, invalid frames become NaN and are
+    excluded from the nanmean."""
+    from hold_tpu.data.synthetic import _sphere_mesh
+    from hold_tpu.evaluate import eval_icp_every_frame
+
+    verts, faces = _sphere_mesh(0.05, 2)
+    verts = verts * np.array([1.0, 0.6, 0.3])
+    rng = np.random.RandomState(5)
+    pred_frames, gt_frames = [], []
+    for _ in range(3):
+        R = random_rotation(rng)
+        pred_frames.append(verts @ R.T + rng.randn(3) * 0.05)
+        gt_frames.append(verts)
+    pred = {"v3d_ra.object": pred_frames, "faces": {"object": faces}}
+    gt = {
+        "v3d_ra.object": gt_frames,
+        "faces": {"object": faces},
+        "is_valid": np.array([1, 0, 1]),
+    }
+    md = eval_icp_every_frame(pred, gt, {}, num_iters=30)
+    assert np.isfinite(md["cd_icp"])
+    assert md["cd_icp"] < 0.05, md["cd_icp"]
+    assert md["f10_icp"] > 90.0
