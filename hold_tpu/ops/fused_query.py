@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .knn import _CLAMP, _inv3_planes, _round_up, _xyz_rows
+from .knn import _CLAMP, _inv3_planes, _round_up, _xyz_rows, kth_smallest
 
 _T = 512  # points per tile
 _EMB_ROWS = 48  # embedding rows (39 used for multires=6), sublane-padded
@@ -231,12 +231,7 @@ def _knn_warp_from_xyz(xyz, psq, verts, vsq, w, tf, K):
     )
     d2 = jnp.maximum(vsq + psq - 2.0 * cross, 0.0)
     d2c = jnp.minimum(d2, _CLAMP)
-    BIG = jnp.float32(1e9)
-    work = d2
-    kth = jnp.min(work, axis=0, keepdims=True)
-    for _ in range(K - 1):
-        work = jnp.where(work <= kth, BIG, work)
-        kth = jnp.min(work, axis=0, keepdims=True)
+    kth = kth_smallest(d2, K, axis=0)
     conf = jnp.where(d2 <= kth, jnp.exp(-d2c), 0.0)
     conf = conf / jnp.sum(conf, axis=0, keepdims=True)
     wb = jax.lax.dot_general(

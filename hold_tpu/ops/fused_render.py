@@ -50,7 +50,7 @@ from .fused_query import (
     _softplus100,
     supports_fused_query,
 )
-from .knn import _CLAMP, _inv3_planes, _round_up, _xyz_rows
+from .knn import _CLAMP, _inv3_planes, _round_up, _xyz_rows, kth_smallest
 
 # layer-0 column layout of the 'pose'-mode rendering net
 # (mlp.apply_rendering_net): [points 3 | normals 3 | pose_embed 8 | features]
@@ -346,12 +346,7 @@ def _hand_render_kernel(pts_ref, vp_ref, vpsq_ref, vc_ref, vcsq_ref, w_ref,
     csq = xc3[0:1] ** 2 + xc3[1:2] ** 2 + xc3[2:3] ** 2
     cd2 = jnp.maximum(vcsq_ref[0] + csq - 2.0 * ccross, 0.0)
     cd2c = jnp.minimum(cd2, _CLAMP)
-    BIG = jnp.float32(1e9)
-    work = cd2
-    kth = jnp.min(work, axis=0, keepdims=True)
-    for _ in range(K - 1):
-        work = jnp.where(work <= kth, BIG, work)
-        kth = jnp.min(work, axis=0, keepdims=True)
+    kth = kth_smallest(cd2, K, axis=0)
     conf = jnp.where(cd2 <= kth, jnp.exp(-cd2c), 0.0)
     conf = conf / jnp.sum(conf, axis=0, keepdims=True)
     wb = jax.lax.dot_general(

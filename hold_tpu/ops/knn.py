@@ -35,6 +35,26 @@ from ..utils.transforms import inverse_affine4
 _CLAMP = 4.0
 
 
+def kth_smallest(d2: jnp.ndarray, K: int, axis: int) -> jnp.ndarray:
+    """K-th smallest along ``axis`` (keepdims), by K-1 READ-ONLY passes.
+
+    Equivalent to the classic extract-and-mask loop
+    (``work = where(work <= kth, BIG, work); kth = min(work)``) but never
+    mutates the (T, V) work array: each pass recomputes the masked min from
+    the original distances and the previous threshold.  The loop-carried
+    state shrinks from the full tile to a (T, 1) threshold, which removes
+    K-1 full-width VMEM writes per tile and lets Mosaic fuse
+    compare+select+min into one pass over registers.  Tie semantics are
+    IDENTICAL: both forms collapse duplicates equal to the running
+    threshold, and the caller's final mask ``d2 <= kth`` re-includes them.
+    """
+    BIG = jnp.float32(1e9)
+    kth = jnp.min(d2, axis=axis, keepdims=True)
+    for _ in range(K - 1):
+        kth = jnp.min(jnp.where(d2 > kth, d2, BIG), axis=axis, keepdims=True)
+    return kth
+
+
 def _pairwise_sqdist(pts: jnp.ndarray, verts: jnp.ndarray) -> jnp.ndarray:
     """(P,3),(V,3) -> (P,V) squared distances via the matmul identity."""
     p2 = jnp.sum(pts * pts, axis=-1, keepdims=True)
@@ -86,15 +106,10 @@ def _knn_kernel(pts_ref, verts_ref, vsq_ref, w_ref, out_w_ref, out_d_ref, *, K):
     d2 = jnp.maximum(psq + vsq - 2.0 * cross, 0.0)
     d2c = jnp.minimum(d2, _CLAMP)
 
-    # kth smallest via K min-extractions (masking each found min to +inf);
-    # track both the threshold and the running min (for the outlier mask).
-    BIG = jnp.float32(1e9)
-    work = d2  # un-clamped for strict ordering; padding is >= 1e8 via vsq
-    first_min = jnp.min(work, axis=-1, keepdims=True)  # (T, 1)
-    kth = first_min
-    for _ in range(K - 1):
-        work = jnp.where(work <= kth, BIG, work)
-        kth = jnp.min(work, axis=-1, keepdims=True)
+    # kth smallest via K-1 read-only masked-min passes (kth_smallest);
+    # also track the running min (for the outlier mask).
+    first_min = jnp.min(d2, axis=-1, keepdims=True)  # (T, 1)
+    kth = kth_smallest(d2, K, axis=-1)
 
     mask = d2 <= kth  # includes ties; padding excluded by construction
     conf = jnp.where(mask, jnp.exp(-d2c), 0.0)
@@ -202,13 +217,8 @@ def _knn_kernel_t(pts_ref, verts_ref, vsq_ref, psq_ref, w_ref,
     d2 = jnp.maximum(vsq + psq - 2.0 * cross, 0.0)
     d2c = jnp.minimum(d2, _CLAMP)
 
-    BIG = jnp.float32(1e9)
-    work = d2  # un-clamped ordering; padding >= 1e8 via vsq
-    first_min = jnp.min(work, axis=0, keepdims=True)  # (1, T)
-    kth = first_min
-    for _ in range(K - 1):
-        work = jnp.where(work <= kth, BIG, work)
-        kth = jnp.min(work, axis=0, keepdims=True)
+    first_min = jnp.min(d2, axis=0, keepdims=True)  # (1, T)
+    kth = kth_smallest(d2, K, axis=0)
 
     mask = d2 <= kth
     conf = jnp.where(mask, jnp.exp(-d2c), 0.0)
@@ -353,13 +363,8 @@ def _knn_warp_kernel(pts_ref, verts_ref, vsq_ref, w_ref, tf_ref,
     d2 = jnp.maximum(vsq_ref[:] + psq - 2.0 * cross, 0.0)
     d2c = jnp.minimum(d2, _CLAMP)
 
-    BIG = jnp.float32(1e9)
-    work = d2
-    first_min = jnp.min(work, axis=0, keepdims=True)  # (1, T)
-    kth = first_min
-    for _ in range(K - 1):
-        work = jnp.where(work <= kth, BIG, work)
-        kth = jnp.min(work, axis=0, keepdims=True)
+    first_min = jnp.min(d2, axis=0, keepdims=True)  # (1, T)
+    kth = kth_smallest(d2, K, axis=0)
     conf = jnp.where(d2 <= kth, jnp.exp(-d2c), 0.0)
     conf = conf / jnp.sum(conf, axis=0, keepdims=True)
 
@@ -473,13 +478,8 @@ def _warp_fwd_kernel(pts_ref, verts_ref, vsq_ref, w_ref, tf_ref,
     )
     d2 = jnp.maximum(vsq_ref[:] + psq - 2.0 * cross, 0.0)
     d2c = jnp.minimum(d2, _CLAMP)
-    BIG = jnp.float32(1e9)
-    work = d2
-    first_min = jnp.min(work, axis=0, keepdims=True)
-    kth = first_min
-    for _ in range(K - 1):
-        work = jnp.where(work <= kth, BIG, work)
-        kth = jnp.min(work, axis=0, keepdims=True)
+    first_min = jnp.min(d2, axis=0, keepdims=True)
+    kth = kth_smallest(d2, K, axis=0)
     conf = jnp.where(d2 <= kth, jnp.exp(-d2c), 0.0)
     conf = conf / jnp.sum(conf, axis=0, keepdims=True)
     wb = jax.lax.dot_general(
@@ -671,12 +671,7 @@ def _jinv_fwd_kernel(pts_ref, verts_ref, vsq_ref, w_ref, tf_ref,
     )
     d2 = jnp.maximum(vsq_ref[:] + psq - 2.0 * cross, 0.0)
     d2c = jnp.minimum(d2, _CLAMP)
-    BIG = jnp.float32(1e9)
-    work = d2
-    kth = jnp.min(work, axis=0, keepdims=True)
-    for _ in range(K - 1):
-        work = jnp.where(work <= kth, BIG, work)
-        kth = jnp.min(work, axis=0, keepdims=True)
+    kth = kth_smallest(d2, K, axis=0)
     conf = jnp.where(d2 <= kth, jnp.exp(-d2c), 0.0)
     conf = conf / jnp.sum(conf, axis=0, keepdims=True)
     wb = jax.lax.dot_general(
