@@ -94,7 +94,17 @@ def generate_sequence(
     img_hw: tuple[int, int] = (240, 320),
     seed: int = 0,
     two_hands: bool = False,
+    pose_noise: float = 0.0,
 ) -> str:
+    """Render a synthetic hand+object sequence.
+
+    pose_noise > 0 simulates the REAL pipeline's noisy initialization (hand
+    pose estimators / SfM): images and masks are rendered from the TRUE
+    poses, but the poses written to data.npy's ``entities`` (what training
+    initializes from) are perturbed with Gaussian noise of this std (radians
+    on rotations, pose_noise*0.05 m on translations).  The unperturbed truth
+    is kept under ``entities_gt`` for evaluation (eval/io_pred.py prefers it)
+    — so pose refinement can be measured against real ground truth."""
     import cv2
     import jax
     import jax.numpy as jnp
@@ -226,6 +236,29 @@ def generate_sequence(
         cv2.imwrite(os.path.join(build, "image", f"{i:04d}.png"), img[:, :, ::-1])
         cv2.imwrite(os.path.join(build, "mask", f"{i:04d}.png"), mask)
 
+    entities_gt = None
+    if pose_noise > 0.0:
+        import copy
+
+        entities_gt = copy.deepcopy(entities)  # truth, for evaluation only
+        nrng = np.random.RandomState(seed + 7)
+        for h in hands:
+            e = entities[h]
+            e["hand_poses"] = (
+                e["hand_poses"] + nrng.randn(*e["hand_poses"].shape)
+                * pose_noise
+            ).astype(np.float32)
+            e["hand_trans"] = (
+                e["hand_trans"] + nrng.randn(*e["hand_trans"].shape)
+                * pose_noise * 0.05
+            ).astype(np.float32)
+        op = entities["object"]["object_poses"]
+        noise = np.concatenate(
+            [nrng.randn(n_frames, 3) * pose_noise,
+             nrng.randn(n_frames, 3) * pose_noise * 0.05], axis=1
+        )
+        entities["object"]["object_poses"] = (op + noise).astype(np.float32)
+
     data = {
         "cameras": cameras,
         "entities": entities,
@@ -234,6 +267,8 @@ def generate_sequence(
         # carry the camera-normalisation shift from the generator)
         "normalize_shift": np.zeros(3, np.float32),
     }
+    if entities_gt is not None:
+        data["entities_gt"] = entities_gt
     np.save(os.path.join(build, "data.npy"), data)
     with open(os.path.join(build, "corres.txt"), "w") as fh:
         for i in range(n_frames):
@@ -249,10 +284,13 @@ def main():
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--two_hands", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pose_noise", type=float, default=0.0,
+                    help="std of Gaussian noise on the init poses written to"
+                         " data.npy (truth kept in entities_gt for eval)")
     args = ap.parse_args()
     build = generate_sequence(
         args.out, args.frames, (args.height, args.width), args.seed,
-        args.two_hands,
+        args.two_hands, pose_noise=args.pose_noise,
     )
     print(f"Wrote synthetic sequence to {build}")
 

@@ -136,8 +136,12 @@ def load_data(exp_dir: str, seq: SequenceData) -> DataBus:
 def gt_from_sequence(seq: SequenceData) -> DataBus:
     """Ground truth in eval space derived from the build parameters — exact
     for synthetic sequences (whose data.npy IS the GT); for real captures use
-    the dataset-specific GT loaders (gt_ho3d / gt_arctic)."""
-    entities = seq.entities
+    the dataset-specific GT loaders (gt_ho3d / gt_arctic).
+
+    Noised-init sequences (data/synthetic.py --pose_noise) keep the TRUE
+    poses under ``entities_gt`` while ``entities`` carries the perturbed
+    initialization; evaluation must use the truth."""
+    entities = seq.data.get("entities_gt", seq.entities)
     n = seq.n_frames
     scale = seq.scale
     inv_scale = 1.0 / scale
