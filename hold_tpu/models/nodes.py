@@ -616,14 +616,33 @@ def _use_fused_query(plans: NodePlans) -> bool:
         return False
     if jax.devices()[0].platform != "tpu":
         return False
-    from ..ops.fused_query import _T, supports_fused_query
+    from ..ops.fused_query import _RT, _T, supports_fused_query
 
-    # z-table entry points expand points in-kernel; the tile must hold a
-    # whole number of rays
+    # z-table entry points expand points in-kernel; a tile of _RT rays must
+    # split into whole _T-point slices (the kernels assert this), so small
+    # dev shapes (e.g. -f's N_samples_eval=32) fall back to the XLA path
     return (
         supports_fused_query(plans.implicit)
-        and _T % plans.sampler.N_samples_eval == 0
+        and (_RT * plans.sampler.N_samples_eval) % _T == 0
     )
+
+
+def _sampler_relu() -> bool:
+    """HOLD_SAMPLER_RELU=1: relu trunk activations in the fused sampler
+    query kernels (hidden layers only; the fused path is already bf16 and
+    the substitution error, <= log(2)/100 per activation, sits at the bf16
+    noise floor).  Sampler-only — rendering/grad math is untouched."""
+    return bool(os.environ.get("HOLD_SAMPLER_RELU"))
+
+
+def _sampler_knn_stride() -> int:
+    """HOLD_SAMPLER_KNN_STRIDE=n: subsample the MANO vertex table (every
+    n-th vertex) for the SAMPLER-stage KNN only.  The top-K threshold
+    extraction is the sampler's dominant VPU cost and scales linearly in V;
+    sample placement tolerates the coarser skinning field.  Default 1
+    (exact, reference semantics).  The grad-stage warp always uses all
+    778 vertices."""
+    return max(1, int(os.environ.get("HOLD_SAMPLER_KNN_STRIDE", "1")))
 
 
 def _use_fused_render(plans: NodePlans) -> bool:
@@ -703,13 +722,17 @@ def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
         plan_arr = _fused_embed_plan(plans, step)
         S_eval = plans.sampler.N_samples_eval
         rays8 = pack_rays8(ray_dirs, cam_loc, B, P, S_eval)
+        stride = _sampler_knn_stride()
+        q_verts = verts_posed[:, ::stride] if stride > 1 else verts_posed
+        q_skin = skin_w[:, ::stride] if stride > 1 else skin_w
+        relu = _sampler_relu()
 
         def query_z(z_RS):
             # single Pallas kernel: in-kernel cam + z*dir expansion + KNN
             # warp + PE + bf16 trunk + f32 head, weights VMEM-resident
             sdf = fused_hand_sampler_sdf_z(
-                rays8, z_RS.reshape(B, P, -1), verts_posed, skin_w, tfs,
-                plan_arr, pack, K=plans.knn_k,
+                rays8, z_RS.reshape(B, P, -1), q_verts, q_skin, tfs,
+                plan_arr, pack, K=plans.knn_k, relu=relu,
             )
             return sdf.reshape(B * P, -1)
 
@@ -764,10 +787,12 @@ def object_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
             [Rinv.reshape(B, 9), tfs[:, :3, 3]], axis=-1
         )
         rays8 = pack_rays8(ray_dirs, cam_loc, B, P, plans.sampler.N_samples_eval)
+        relu = _sampler_relu()
 
         def query_z(z_RS):
             sdf = fused_object_sampler_sdf_z(
                 rays8, z_RS.reshape(B, P, -1), tf12, plan_arr, pack,
+                relu=relu,
             )
             return sdf.reshape(B * P, -1)
 

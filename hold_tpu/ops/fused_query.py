@@ -155,8 +155,17 @@ def _softplus100(x):
 
 
 def _emb_mlp_head(xc3, plan_ref, w0_ref, w1_ref, w2_ref, w3_ref, w4h_ref,
-                  w4e_ref, w5_ref, w6_ref, w7_ref, b_ref, hw_ref, hb_ref):
-    """xc3: (3, T) canonical points, lanes-major. Returns sdf (1, T) f32."""
+                  w4e_ref, w5_ref, w6_ref, w7_ref, b_ref, hw_ref, hb_ref,
+                  relu=False):
+    """xc3: (3, T) canonical points, lanes-major. Returns sdf (1, T) f32.
+
+    relu=True swaps the trunk activation softplus(beta=100) -> relu for the
+    HIDDEN layers only (the final pre-head activation stays exact): the two
+    differ by at most log(2)/100 = 0.0069 per activation, the same order as
+    the bf16 rounding the trunk already accepts, and the sampler output only
+    *ranks and places* z samples.  Cuts the per-tile transcendental budget
+    (exp+log1p over (256, T) x 8 layers) to zero.  Gated by
+    HOLD_SAMPLER_RELU (default off) until an on-chip eval-parity run."""
     plan = plan_ref[:]  # (EMB_ROWS, 8)
     spread = plan[:, 4:7]  # (EMB_ROWS, 3)
     arg = jax.lax.dot_general(
@@ -177,17 +186,18 @@ def _emb_mlp_head(xc3, plan_ref, w0_ref, w1_ref, w2_ref, w3_ref, w4h_ref,
         )
         return out + b_ref[: out.shape[0], l : l + 1]
 
-    h = _softplus100(lin(w0_ref, emb16, 0)).astype(jnp.bfloat16)
-    h = _softplus100(lin(w1_ref, h, 1)).astype(jnp.bfloat16)
-    h = _softplus100(lin(w2_ref, h, 2)).astype(jnp.bfloat16)
-    h = _softplus100(lin(w3_ref, h, 3)).astype(jnp.bfloat16)  # (224, T)
+    act = (lambda x: jnp.maximum(x, 0.0)) if relu else _softplus100
+    h = act(lin(w0_ref, emb16, 0)).astype(jnp.bfloat16)
+    h = act(lin(w1_ref, h, 1)).astype(jnp.bfloat16)
+    h = act(lin(w2_ref, h, 2)).astype(jnp.bfloat16)
+    h = act(lin(w3_ref, h, 3)).astype(jnp.bfloat16)  # (224, T)
     h4 = lin(w4h_ref, h, 4) + jax.lax.dot_general(
         w4e_ref[:], emb16, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    h = _softplus100(h4).astype(jnp.bfloat16)
-    h = _softplus100(lin(w5_ref, h, 5)).astype(jnp.bfloat16)
-    h = _softplus100(lin(w6_ref, h, 6)).astype(jnp.bfloat16)
+    h = act(h4).astype(jnp.bfloat16)
+    h = act(lin(w5_ref, h, 5)).astype(jnp.bfloat16)
+    h = act(lin(w6_ref, h, 6)).astype(jnp.bfloat16)
     h = _softplus100(lin(w7_ref, h, 7))  # f32 for the head
     sdf = jax.lax.dot_general(
         hw_ref[:], h, (((1,), (0,)), ((), ())),
@@ -253,19 +263,19 @@ def _knn_warp_from_xyz(xyz, psq, verts, vsq, w, tf, K):
 
 def _hand_query_kernel(pts_ref, verts_ref, vsq_ref, w_ref, tf_ref, plan_ref,
                        w0, w1, w2, w3, w4h, w4e, w5, w6, w7, b, hw, hb,
-                       out_ref, *, K):
+                       out_ref, *, K, relu=False):
     xc = _knn_warp_rows(pts_ref[0], verts_ref[0], vsq_ref[0], w_ref[0],
                         tf_ref[0], K)
     xc3 = jnp.concatenate(xc, axis=0)  # (3, T)
     sdf = _emb_mlp_head(xc3, plan_ref, w0, w1, w2, w3, w4h, w4e, w5, w6, w7,
-                        b, hw, hb)
+                        b, hw, hb, relu=relu)
     pad = jnp.zeros((7, sdf.shape[1]), jnp.float32)
     out_ref[0] = jnp.concatenate([sdf, pad], axis=0)
 
 
 def _object_query_kernel(pts_ref, tfi_ref, plan_ref,
                          w0, w1, w2, w3, w4h, w4e, w5, w6, w7, b, hw, hb,
-                         out_ref):
+                         out_ref, *, relu=False):
     pts = pts_ref[0]
     xyz, _ = _xyz_rows(pts)
     tfi = tfi_ref[0]  # (16, 8): col 0 = [Rinv row-major (9), t (3), ...]
@@ -276,14 +286,14 @@ def _object_query_kernel(pts_ref, tfi_ref, plan_ref,
     ]
     xc3 = jnp.concatenate(xc, axis=0)
     sdf = _emb_mlp_head(xc3, plan_ref, w0, w1, w2, w3, w4h, w4e, w5, w6, w7,
-                        b, hw, hb)
+                        b, hw, hb, relu=relu)
     pad = jnp.zeros((7, sdf.shape[1]), jnp.float32)
     out_ref[0] = jnp.concatenate([sdf, pad], axis=0)
 
 
 def _hand_query_z_kernel(rays_ref, z_ref, verts_ref, vsq_ref, w_ref, tf_ref,
                          plan_ref, w0, w1, w2, w3, w4h, w4e, w5, w6, w7, b,
-                         hw, hb, out_ref, *, K):
+                         hw, hb, out_ref, *, K, relu=False):
     # tile = 8 rays x S samples (TPU block constraint: second-minor dims must
     # be 8-divisible); the warp+MLP runs over _T-point slices so the KNN
     # distance buffers stay at the proven VMEM footprint
@@ -296,14 +306,14 @@ def _hand_query_z_kernel(rays_ref, z_ref, verts_ref, vsq_ref, w_ref, tf_ref,
         )
         xc3 = jnp.concatenate(xc, axis=0)  # (3, _T)
         sdf = _emb_mlp_head(xc3, plan_ref, w0, w1, w2, w3, w4h, w4e, w5, w6,
-                            w7, b, hw, hb)
+                            w7, b, hw, hb, relu=relu)
         pad = jnp.zeros((7, sdf.shape[1]), jnp.float32)
         out_ref[0, :, sl] = jnp.concatenate([sdf, pad], axis=0)
 
 
 def _object_query_z_kernel(rays_ref, z_ref, tfi_ref, plan_ref,
                            w0, w1, w2, w3, w4h, w4e, w5, w6, w7, b, hw, hb,
-                           out_ref):
+                           out_ref, *, relu=False):
     xyz_full, _ = _points_from_rays_z(rays_ref[0], z_ref[0])
     tfi = tfi_ref[0]  # (16, 8): col 0 = [Rinv row-major (9), t (3), ...]
     for c in range(xyz_full.shape[1] // _T):
@@ -317,7 +327,7 @@ def _object_query_z_kernel(rays_ref, z_ref, tfi_ref, plan_ref,
         ]
         xc3 = jnp.concatenate(xc, axis=0)
         sdf = _emb_mlp_head(xc3, plan_ref, w0, w1, w2, w3, w4h, w4e, w5, w6,
-                            w7, b, hw, hb)
+                            w7, b, hw, hb, relu=relu)
         pad = jnp.zeros((7, sdf.shape[1]), jnp.float32)
         out_ref[0, :, sl] = jnp.concatenate([sdf, pad], axis=0)
 
@@ -354,9 +364,10 @@ def _mlp_args(pack):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("K", "interpret"))
+@functools.partial(jax.jit, static_argnames=("K", "interpret", "relu"))
 def fused_hand_sampler_sdf(pts, verts, skin_weights, tfs, plan_arr, pack,
-                           K: int = 15, interpret: bool = False):
+                           K: int = 15, interpret: bool = False,
+                           relu: bool = False):
     """(B,N,3),(B,V,3),(B,V,J),(B,J,4,4) + packed trunk -> sdf (B, N) f32."""
     B, N = pts.shape[:2]
     V, J = verts.shape[1], skin_weights.shape[2]
@@ -376,7 +387,7 @@ def fused_hand_sampler_sdf(pts, verts, skin_weights, tfs, plan_arr, pack,
 
     V_ = pltpu.VMEM
     out = pl.pallas_call(
-        functools.partial(_hand_query_kernel, K=K),
+        functools.partial(_hand_query_kernel, K=K, relu=relu),
         grid=(B, Np // _T),
         in_specs=[
             pl.BlockSpec((1, _T, 8), lambda b, t: (b, t, 0), memory_space=V_),
@@ -394,9 +405,9 @@ def fused_hand_sampler_sdf(pts, verts, skin_weights, tfs, plan_arr, pack,
     return out[:, 0, :N]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "relu"))
 def fused_object_sampler_sdf(pts, tf_inv12, plan_arr, pack,
-                             interpret: bool = False):
+                             interpret: bool = False, relu: bool = False):
     """(B,N,3) + per-frame inverse affine (B,12: Rinv row-major 9 | t 3) ->
     sdf (B, N) f32."""
     B, N = pts.shape[:2]
@@ -406,7 +417,7 @@ def fused_object_sampler_sdf(pts, tf_inv12, plan_arr, pack,
 
     V_ = pltpu.VMEM
     out = pl.pallas_call(
-        _object_query_kernel,
+        functools.partial(_object_query_kernel, relu=relu),
         grid=(B, Np // _T),
         in_specs=[
             pl.BlockSpec((1, _T, 8), lambda b, t: (b, t, 0), memory_space=V_),
@@ -439,9 +450,10 @@ def pack_rays8(ray_dirs, cam_loc, B: int, P: int, S: int):
     return rays
 
 
-@functools.partial(jax.jit, static_argnames=("K", "interpret"))
+@functools.partial(jax.jit, static_argnames=("K", "interpret", "relu"))
 def fused_hand_sampler_sdf_z(rays8, z, verts, skin_weights, tfs, plan_arr,
-                             pack, K: int = 15, interpret: bool = False):
+                             pack, K: int = 15, interpret: bool = False,
+                             relu: bool = False):
     """rays8 (B, Pp, 8) from pack_rays8; z (B, P, S) -> sdf (B, P, S) f32.
 
     Same math as fused_hand_sampler_sdf, but the world points cam + z*dir
@@ -470,7 +482,7 @@ def fused_hand_sampler_sdf_z(rays8, z, verts, skin_weights, tfs, plan_arr,
 
     V_ = pltpu.VMEM
     out = pl.pallas_call(
-        functools.partial(_hand_query_z_kernel, K=K),
+        functools.partial(_hand_query_z_kernel, K=K, relu=relu),
         grid=(B, Pp // RT),
         in_specs=[
             pl.BlockSpec((1, RT, 8), lambda b, t: (b, t, 0), memory_space=V_),
@@ -489,9 +501,9 @@ def fused_hand_sampler_sdf_z(rays8, z, verts, skin_weights, tfs, plan_arr,
     return out[:, 0, : P * S].reshape(B, P, S)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "relu"))
 def fused_object_sampler_sdf_z(rays8, z, tf_inv12, plan_arr, pack,
-                               interpret: bool = False):
+                               interpret: bool = False, relu: bool = False):
     """rays8 (B, Pp, 8); z (B, P, S); per-frame inverse affine (B, 12) ->
     sdf (B, P, S) f32."""
     B, P, S = z.shape
@@ -506,7 +518,7 @@ def fused_object_sampler_sdf_z(rays8, z, tf_inv12, plan_arr, pack,
 
     V_ = pltpu.VMEM
     out = pl.pallas_call(
-        _object_query_z_kernel,
+        functools.partial(_object_query_z_kernel, relu=relu),
         grid=(B, Pp // RT),
         in_specs=[
             pl.BlockSpec((1, RT, 8), lambda b, t: (b, t, 0), memory_space=V_),

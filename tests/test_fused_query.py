@@ -228,3 +228,62 @@ def test_fused_object_z_kernel_matches_pts_kernel():
     assert got.shape == (B, P, S)
     np.testing.assert_allclose(got, ref, atol=2e-2)
     assert np.abs(got - ref).mean() < 4e-3
+
+
+def test_relu_trunk_close_to_softplus():
+    """HOLD_SAMPLER_RELU substitutes relu for softplus(beta=100) in the
+    hidden layers.  Per activation the two differ by <= log(2)/100, but the
+    gap is one-signed (softplus >= relu) so it accumulates coherently
+    through the 8-layer trunk: measured ~0.04 mean SDF deviation at
+    geometric init (SDF scale ~0.2).  That is too large for default-on —
+    the knob exists to MEASURE the transcendental budget on-chip — so this
+    test only pins the deviation's order of magnitude and that the kernel
+    compiles/runs in both modes."""
+    _, plan, resolved = _implicit(MANO_SPECS, seed=0)
+    rng = np.random.RandomState(13)
+    B, N, V, J, K = 1, 512, 778, 16, 15
+    pts = jnp.asarray(rng.randn(B, N, 3) * 0.15, jnp.float32)
+    verts = jnp.asarray(rng.randn(B, V, 3) * 0.12, jnp.float32)
+    w = rng.rand(B, V, J).astype(np.float32) ** 4
+    w = jnp.asarray(w / w.sum(-1, keepdims=True))
+    tfs = _rigid_tfs(rng, B, J)
+    pack = pack_trunk_weights(resolved, plan)
+    plan_arr = embed_plan(plan["multires"], None)
+    soft = np.asarray(fused_hand_sampler_sdf(
+        pts, verts, w, tfs, plan_arr, pack, K=K, interpret=True))
+    hard = np.asarray(fused_hand_sampler_sdf(
+        pts, verts, w, tfs, plan_arr, pack, K=K, interpret=True, relu=True))
+    # coherent accumulation bound: well under the SDF scale, far above bf16
+    assert np.abs(soft - hard).max() < 0.2
+    assert np.abs(soft - hard).mean() < 0.1
+
+
+def test_sampler_knn_stride_env(monkeypatch):
+    """The stride knob subsamples the sampler-stage KNN vertex table; the
+    resulting SDF field must stay close to the full-table field (it feeds
+    only sample placement)."""
+    from hold_tpu.models import nodes as nodes_mod
+
+    monkeypatch.setenv("HOLD_SAMPLER_KNN_STRIDE", "4")
+    assert nodes_mod._sampler_knn_stride() == 4
+    monkeypatch.delenv("HOLD_SAMPLER_KNN_STRIDE")
+    assert nodes_mod._sampler_knn_stride() == 1
+
+    _, plan, resolved = _implicit(MANO_SPECS, seed=0)
+    rng = np.random.RandomState(17)
+    B, N, V, J, K = 1, 512, 778, 16, 15
+    pts = jnp.asarray(rng.randn(B, N, 3) * 0.15, jnp.float32)
+    verts = jnp.asarray(rng.randn(B, V, 3) * 0.12, jnp.float32)
+    w = rng.rand(B, V, J).astype(np.float32) ** 4
+    w = jnp.asarray(w / w.sum(-1, keepdims=True))
+    tfs = _rigid_tfs(rng, B, J, rot_scale=0.1, t_scale=0.02)
+    pack = pack_trunk_weights(resolved, plan)
+    plan_arr = embed_plan(plan["multires"], None)
+    full = np.asarray(fused_hand_sampler_sdf(
+        pts, verts, w, tfs, plan_arr, pack, K=K, interpret=True))
+    sub = np.asarray(fused_hand_sampler_sdf(
+        pts, verts[:, ::4], w[:, ::4], tfs, plan_arr, pack, K=K,
+        interpret=True))
+    # the subsampled warp lands near the full warp for mild poses; the SDF
+    # difference must stay below the sampler's convergence epsilon
+    assert np.abs(full - sub).mean() < 5e-2
