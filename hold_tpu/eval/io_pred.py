@@ -31,9 +31,16 @@ def map_deform2eval(verts: np.ndarray, inv_scale: float,
     return np.asarray(verts, np.float64) @ CONVERSION * inv_scale + shift
 
 
-def load_experiment(exp_dir: str, seq: SequenceData):
-    """Returns (params, misc) for the newest checkpoint of an experiment."""
-    ckpt = latest_checkpoint(exp_dir)
+def load_experiment(exp_dir: str, seq: SequenceData, ckpt: str | None = None):
+    """Returns (params, misc) for a checkpoint of an experiment.
+
+    ckpt defaults to the newest checkpoint (reference evaluate.py consumes an
+    explicit --sd_p/--ckpt_p state dict; passing `ckpt` matches that).  The
+    misc sidecar (canonical meshes etc.) is chosen at-or-before the
+    checkpoint's step so trajectory evaluations see the meshes that existed
+    at that point in training."""
+    if ckpt is None:
+        ckpt = latest_checkpoint(exp_dir)
     assert ckpt, f"no checkpoint under {exp_dir}"
     # restore against a freshly-initialised template
     import jax
@@ -47,16 +54,20 @@ def load_experiment(exp_dir: str, seq: SequenceData):
     scene = build_scene(opt, {}, seq.scene_data())
     template = init_scene_params(jax.random.PRNGKey(0), scene, seq.scene_data())
     state = load_checkpoint(ckpt, {"params": template, "step": 0})
+    step = int(state.get("step", 0))
     misc_ps = sorted(glob(os.path.join(exp_dir, "misc", "*.npy")))
-    misc = (
-        np.load(misc_ps[-1], allow_pickle=True).item() if misc_ps else {}
-    )
+    # misc at-or-before the checkpoint step; latest otherwise
+    eligible = [p for p in misc_ps
+                if int(os.path.splitext(os.path.basename(p))[0]) <= step]
+    pick = (eligible or misc_ps)[-1:] if misc_ps else []
+    misc = np.load(pick[0], allow_pickle=True).item() if pick else {}
     return state["params"], misc, scene
 
 
-def load_data(exp_dir: str, seq: SequenceData) -> DataBus:
+def load_data(exp_dir: str, seq: SequenceData,
+              ckpt: str | None = None) -> DataBus:
     """All-frame predictions in eval space (io/ours.py:load_data parity)."""
-    params, misc, scene = load_experiment(exp_dir, seq)
+    params, misc, scene = load_experiment(exp_dir, seq, ckpt=ckpt)
     n = seq.n_frames
     scale = seq.scale
     inv_scale = 1.0 / scale

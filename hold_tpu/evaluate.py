@@ -68,7 +68,14 @@ def eval_icp_every_frame(pred, gt, md, num_iters=10):
     (10 iters there) and nanmean the per-frame metrics.  Not in the default
     registry (same as the reference) — opt in via --icp_every_frame."""
     n = len(pred["v3d_ra.object"])
+    # length guards mirroring the reference (eval_modules.py:86-87): a
+    # pred/gt frame-count mismatch must fail loudly, not nanmean misaligned
+    # frames
+    assert len(gt["v3d_ra.object"]) == n, (
+        f"pred/gt frame mismatch: {n} vs {len(gt['v3d_ra.object'])}"
+    )
     valid = np.asarray(gt["is_valid"]).astype(bool)
+    assert len(valid) == n, f"is_valid length {len(valid)} != {n}"
     cds, f5s, f10s = [], [], []
     for i in range(n):
         if valid[i]:
@@ -123,6 +130,11 @@ def main():
     enable_compile_cache()  # every CLI pays remote TPU compiles otherwise
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", required=True, help="experiment dir (logs/<key>)")
+    ap.add_argument("--ckpt", default=None,
+                    help="explicit checkpoint path (default: newest; the "
+                    "reference's --sd_p/--ckpt_p role)")
+    ap.add_argument("--out_json", default=None,
+                    help="metrics JSON path (default <exp>/eval.metric.json)")
     ap.add_argument("--case", required=True)
     ap.add_argument("--data_root", default="./data")
     ap.add_argument("--gt", default="synthetic",
@@ -136,7 +148,7 @@ def main():
     from .eval.io_pred import gt_from_sequence, load_data
 
     seq = SequenceData(args.case, args.data_root)
-    pred = load_data(args.exp, seq)
+    pred = load_data(args.exp, seq, ckpt=args.ckpt)
     if args.gt == "synthetic":
         gt = gt_from_sequence(seq)
     else:
@@ -151,7 +163,7 @@ def main():
 
     mean_metrics["timestamp"] = datetime.now().strftime("%m-%d %H:%M")
     mean_metrics["seq_name"] = args.case
-    json_p = os.path.join(args.exp, "eval.metric.json")
+    json_p = args.out_json or os.path.join(args.exp, "eval.metric.json")
     with open(json_p, "w") as f:
         json.dump(mean_metrics, f, indent=2)
     np.save(os.path.join(args.exp, "eval.metric_all.npy"), metric_dict)

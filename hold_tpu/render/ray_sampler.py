@@ -219,8 +219,14 @@ def error_bound_z_vals(
     beta0 = jnp.asarray(beta0, jnp.float32)
 
     def bisect(beta, sdf, z_vals, dists, d_star):
-        curr_err = _error_bound(beta0, beta[:, None], sdf, z_vals, dists, d_star)
-        beta = jnp.where(curr_err <= cfg.eps, beta0, beta)
+        # convergence test at beta0 (ray_sampler.py:207-211: the reference
+        # evaluates get_error_bound at beta0, NOT at the current beta) — the
+        # bound decreases with beta, so testing at the large Lemma-2 beta
+        # would collapse almost every ray to beta0 immediately
+        err_at_beta0 = _error_bound(
+            beta0, jnp.full((R, 1), beta0), sdf, z_vals, dists, d_star
+        )
+        beta = jnp.where(err_at_beta0 <= cfg.eps, beta0, beta)
 
         def body(carry):
             beta_min, beta_max = carry

@@ -44,6 +44,7 @@ SLOW_MODULES = {
     "test_generator",     # register/align optimization loops
     "test_real_data_paths",  # real-format fixture builds
     "test_arctic",        # ARCTIC pipeline fixtures
+    "test_torch_parity",  # reference torch modules vs JAX, weight-copied
 }
 
 

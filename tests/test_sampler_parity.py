@@ -81,8 +81,10 @@ def np_reference_sampler(sdf_fn, dirs, cam, beta0, cfg: SamplerConfig):
         d_star = np.where(np.sign(sdf[:, 1:]) * np.sign(sdf[:, :-1]) == 1.0,
                           d_star, 0.0)
 
-        err = np_error_bound(beta0, beta[:, None], sdf, z_vals, dists, d_star,
-                             cfg.eps)
+        # convergence test at beta0 (ray_sampler.py:207-211) — the reference
+        # passes beta0 into get_error_bound here, not the current beta
+        err = np_error_bound(beta0, np.full((R, 1), beta0), sdf, z_vals,
+                             dists, d_star, cfg.eps)
         beta = np.where(err <= cfg.eps, beta0, beta)
         bmin = np.full(R, beta0)
         bmax = beta.copy()

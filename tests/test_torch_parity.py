@@ -1,0 +1,352 @@
+"""Direct torch-vs-JAX parity: run the REFERENCE'S OWN modules (imported
+from /root/reference/code, torch CPU) with weights copied into our JAX
+counterparts and assert equality on identical inputs.
+
+This is the strongest parity evidence available without real data (VERDICT
+r4 #4): unlike tests/test_golden_parity.py (hand-transcribed NumPy
+fixtures), nothing here is re-derived — the reference's code computes the
+expected values itself.
+
+Covered:
+- ImplicitNet forward + .gradient()   (code/src/networks/shape_net.py:8-144)
+- RenderingNet 'pose' mode            (code/src/networks/texture_net.py:7-101)
+- LaplaceDensity                      (code/src/engine/density.py:17-29)
+- Fourier + BARF embedders            (code/src/engine/embedders.py:7-160)
+- ErrorBoundSampler.get_z_vals        (code/src/engine/ray_sampler.py:128-354)
+- lbs()                               (code/src/utils/external/lbs.py:139-382)
+
+The reference hardcodes .cuda() in several modules; a fixture rebinds
+torch.Tensor.cuda / torch.nn.Module.cuda to no-ops so everything runs on
+CPU.  No reference code is copied — it is imported and executed.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/code"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+
+class _Opt(dict):
+    __getattr__ = dict.__getitem__
+
+
+@pytest.fixture(autouse=True)
+def _cpu_reference(monkeypatch):
+    """Make the reference's hardcoded .cuda() calls no-ops on CPU."""
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self,
+                        raising=False)
+    monkeypatch.setattr(torch.nn.Module, "cuda", lambda self, *a, **k: self,
+                        raising=False)
+    monkeypatch.setattr(torch, "device", lambda *a, **k: None, raising=False)
+    yield
+
+
+def _resolve_weight(lin):
+    """Effective (weight, bias) of a possibly weight-normed torch Linear."""
+    if hasattr(lin, "weight_v"):
+        v = lin.weight_v.detach()
+        g = lin.weight_g.detach()
+        w = g * v / v.norm(dim=1, keepdim=True)
+    elif hasattr(lin, "parametrizations"):
+        w = lin.weight.detach()
+    else:
+        w = lin.weight.detach()
+    return w.numpy(), lin.bias.detach().numpy()
+
+
+def _copy_linear(lin) -> dict:
+    """Torch Linear (weight-normed or not) -> our layer param dict."""
+    if hasattr(lin, "weight_v"):
+        return {
+            "v": np.asarray(lin.weight_v.detach().numpy()),
+            "g": np.asarray(lin.weight_g.detach().numpy()),
+            "b": np.asarray(lin.bias.detach().numpy()),
+        }
+    w, b = _resolve_weight(lin)
+    return {"w": w, "b": b}
+
+
+MANO_SPECS_T = _Opt(pose_dim=45, embedding="fourier")
+MANO_SPECS_J = {"pose_dim": 45, "embedding": "fourier"}
+BARF_ARGS = _Opt(barf_s=0, barf_e=1, no_barf=True)
+
+IMP_OPT = dict(
+    feature_vector_size=256, d_in=3, d_out=1, dims=[256] * 8,
+    geometric_init=True, bias=0.6, skip_in=[4], weight_norm=True,
+    multires=6, cond="pose", init="geometry", dim_frame_encoding=32,
+)
+REND_OPT = dict(
+    feature_vector_size=256, mode="pose", d_in=14, d_out=3, dims=[256] * 4,
+    weight_norm=True, multires_view=-1, dim_frame_encoding=32,
+)
+
+
+def _jnp(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.asarray(x, np.float32))
+
+
+# --------------------------------------------------------------------------
+# embedders
+# --------------------------------------------------------------------------
+
+def test_fourier_embedder_matches_reference():
+    from src.engine.embedders import get_embedder
+
+    from hold_tpu.models.embedders import fourier_embed
+
+    emb, out_dim = get_embedder(6, mode="fourier", input_dims=3)
+    x = torch.tensor(np.random.RandomState(0).randn(17, 3), dtype=torch.float32)
+    ref = emb.embed(x).numpy()
+    ours = np.asarray(fourier_embed(_jnp(x.numpy()), 6))
+    assert ref.shape[-1] == out_dim == ours.shape[-1]
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_barf_embedder_matches_reference():
+    from src.engine.embedders import BarfEmbedder
+
+    from hold_tpu.models.embedders import barf_alpha, barf_embed
+
+    start, end, L = 100, 600, 6
+    emb = BarfEmbedder(3, L, start, end, dev="cpu", no_barf=False)
+    x_np = np.random.RandomState(1).randn(11, 3).astype(np.float32)
+    x = torch.tensor(x_np)
+    # the reference advances alpha_iter by one host call per step
+    for step in (0, 150, 599, 2000):
+        while int(emb.alpha_iter) < min(step, len(emb.alphas) - 1):
+            emb.step()
+        ref = emb.embed(x).numpy()
+        alpha = barf_alpha(np.int32(step), L, start, end)
+        ours = np.asarray(barf_embed(_jnp(x_np), L, alpha))
+        np.testing.assert_allclose(ours, ref, atol=1e-5,
+                                   err_msg=f"step {step}")
+
+
+# --------------------------------------------------------------------------
+# LaplaceDensity
+# --------------------------------------------------------------------------
+
+def test_laplace_density_matches_reference():
+    from src.engine.density import LaplaceDensity
+
+    from hold_tpu.models.density import laplace_beta, laplace_density
+
+    dens = LaplaceDensity(params_init={"beta": 0.1}, beta_min=1e-4)
+    sdf_np = np.linspace(-0.5, 0.5, 101).astype(np.float32)
+    ref = dens(torch.tensor(sdf_np)).detach().numpy()
+    params = {"beta": _jnp(0.1)}
+    ours = np.asarray(
+        laplace_density(params, _jnp(sdf_np), beta_min=1e-4)
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+    np.testing.assert_allclose(
+        float(laplace_beta(params, 1e-4)), float(dens.get_beta()), atol=1e-8
+    )
+
+
+# --------------------------------------------------------------------------
+# ImplicitNet
+# --------------------------------------------------------------------------
+
+def _build_implicit_pair():
+    from src.networks.shape_net import ImplicitNet
+
+    from hold_tpu.models.mlp import implicit_net_shapes
+
+    net = ImplicitNet(_Opt(IMP_OPT), BARF_ARGS, MANO_SPECS_T)
+    plan = implicit_net_shapes(IMP_OPT, MANO_SPECS_J)
+    params = {"layers": [_copy_linear(getattr(net, f"lin{l}"))
+                         for l in range(net.num_layers - 1)]}
+    return net, plan, params
+
+
+def test_implicit_net_forward_matches_reference():
+    from hold_tpu.models.mlp import apply_implicit_net
+
+    net, plan, params = _build_implicit_pair()
+    rs = np.random.RandomState(2)
+    x_np = rs.randn(1, 64, 3).astype(np.float32) * 0.5
+    cond = {"pose": torch.zeros(1, 45)}  # 45-d MANO cond is zeroed anyway
+    with torch.no_grad():
+        ref = net(torch.tensor(x_np), cond).numpy()[0]
+    ours = np.asarray(
+        apply_implicit_net(params, plan, _jnp(x_np[0]), None, step=None)
+    )
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_implicit_net_gradient_matches_reference():
+    """SDF spatial gradient via the reference's production normal path
+    (volsdf_utils.extract_features:87-96: autograd of output[:, :, :1]
+    w.r.t. the canonical points), not ImplicitNet.gradient (dead code whose
+    [:, :1] slices the point axis)."""
+    import jax
+
+    from hold_tpu.models.mlp import apply_implicit_net
+
+    net, plan, params = _build_implicit_pair()
+    rs = np.random.RandomState(3)
+    x_np = rs.randn(1, 32, 3).astype(np.float32) * 0.5
+    cond = {"pose": torch.zeros(1, 45)}
+    x_t = torch.tensor(x_np, requires_grad=True)
+    sdf = net(x_t, cond)[:, :, :1]
+    ref_g = torch.autograd.grad(sdf.sum(), x_t)[0].numpy().reshape(-1, 3)
+
+    def sdf_sum(pts):
+        return apply_implicit_net(params, plan, pts, None, step=None)[:, 0].sum()
+
+    ours_g = np.asarray(jax.grad(sdf_sum)(_jnp(x_np[0])))
+    np.testing.assert_allclose(ours_g, ref_g, atol=5e-4)
+
+
+# --------------------------------------------------------------------------
+# RenderingNet ('pose' mode)
+# --------------------------------------------------------------------------
+
+def test_rendering_net_pose_mode_matches_reference():
+    from src.networks.texture_net import RenderingNet
+
+    from hold_tpu.models.mlp import apply_rendering_net, rendering_net_shapes
+
+    net = RenderingNet(_Opt(REND_OPT), BARF_ARGS, MANO_SPECS_T)
+    plan = rendering_net_shapes(REND_OPT, MANO_SPECS_J)
+    params = {"layers": [_copy_linear(getattr(net, f"lin{l}"))
+                         for l in range(net.num_layers - 1)],
+              "lin_pose": _copy_linear(net.lin_pose)}
+
+    rs = np.random.RandomState(4)
+    N = 48
+    pts = rs.randn(1, N, 3).astype(np.float32)
+    normals = rs.randn(N, 3).astype(np.float32)
+    feats = rs.randn(N, 256).astype(np.float32)
+    body_pose = rs.randn(1, 45).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref = net(
+            torch.tensor(pts), torch.tensor(normals), None,
+            torch.tensor(body_pose), torch.tensor(feats),
+        ).numpy()
+    body_b = np.repeat(body_pose, N, axis=0)
+    ours = np.asarray(apply_rendering_net(
+        params, plan, _jnp(pts[0]), _jnp(normals), None, _jnp(body_b),
+        _jnp(feats),
+    ))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+# --------------------------------------------------------------------------
+# ErrorBoundSampler
+# --------------------------------------------------------------------------
+
+def test_error_bound_sampler_matches_reference():
+    """Eval-mode z tables (deterministic) on an analytic sphere SDF.
+
+    Uses shapes small enough for CPU but a beta0 low enough that the
+    global early-exit (`beta.max() > beta0`) never triggers before
+    max_total_iters — the one documented behavioural deviation of the
+    static unrolled JAX sampler (render/ray_sampler.py:16-19)."""
+    from src.engine.density import LaplaceDensity
+    from src.engine.ray_sampler import ErrorBoundSampler
+
+    from hold_tpu.render.ray_sampler import SamplerConfig, error_bound_z_vals
+
+    R = 8
+    rs = np.random.RandomState(5)
+    cam = np.array([0.0, 0.0, -2.5], np.float32)
+    cam_loc = np.tile(cam, (R, 1))
+    dirs = np.concatenate(
+        [rs.randn(R, 2).astype(np.float32) * 0.08,
+         np.ones((R, 1), np.float32)], axis=-1
+    )
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    def sphere_sdf_np(p):
+        return np.linalg.norm(p, axis=-1) - 0.7
+
+    cfg = SamplerConfig(
+        near=0.0, N_samples=24, N_samples_eval=32, N_samples_extra=8,
+        eps=0.1, beta_iters=10, max_total_iters=4, add_tiny=1e-6,
+        scene_bounding_sphere=3.0, inverse_sphere_bg=True,
+    )
+
+    sampler = ErrorBoundSampler(
+        scene_bounding_sphere=3.0, near=0.0, N_samples=24,
+        N_samples_eval=32, N_samples_extra=8, eps=0.1, beta_iters=10,
+        max_total_iters=4, inverse_sphere_bg=True, add_tiny=1e-6,
+    )
+    dens = LaplaceDensity(params_init={"beta": 1e-3}, beta_min=1e-4)
+
+    def sdf_fn(deformer, implicit_network, is_training, points_flat, info):
+        d = sphere_sdf_np(points_flat.numpy())
+        return torch.tensor(d[:, None]), None, None
+
+    ref_z = sampler.get_z_vals(
+        sdf_fn, None, torch.nn.Identity(), torch.tensor(dirs),
+        torch.tensor(cam_loc), dens, False, None,
+    ).numpy()
+
+    def sdf_fn_jax(pts):
+        import jax.numpy as jnp
+
+        return jnp.linalg.norm(pts, axis=-1) - 0.7
+
+    ours_z = np.asarray(error_bound_z_vals(
+        None, sdf_fn_jax, _jnp(dirs), _jnp(cam_loc),
+        float(dens.get_beta()), cfg, training=False,
+    ))
+    assert ours_z.shape == ref_z.shape
+    np.testing.assert_allclose(ours_z, ref_z, atol=5e-4)
+
+
+# --------------------------------------------------------------------------
+# LBS
+# --------------------------------------------------------------------------
+
+def test_lbs_matches_reference():
+    from src.utils.external.lbs import lbs as lbs_ref
+
+    from hold_tpu.mano.lbs import constants_from_model, lbs_forward
+    from hold_tpu.mano.model_data import load_mano
+
+    md = load_mano(True)
+    consts = constants_from_model(md)
+
+    rs = np.random.RandomState(6)
+    B = 3
+    betas = rs.randn(B, 10).astype(np.float32) * 0.3
+    full_pose = rs.randn(B, 48).astype(np.float32) * 0.2
+
+    v_ref, j_ref, _T, w_ref, a_ref, vposed_ref = lbs_ref(
+        torch.tensor(betas), torch.tensor(full_pose),
+        torch.tensor(np.asarray(md.v_template, np.float32)).expand(B, -1, -1),
+        torch.tensor(np.asarray(md.shapedirs, np.float32)),
+        torch.tensor(np.asarray(md.posedirs, np.float32)),
+        torch.tensor(np.asarray(md.J_regressor, np.float32)),
+        torch.tensor(np.asarray(md.parents, np.int64)),
+        torch.tensor(np.asarray(md.lbs_weights, np.float32)),
+        pose2rot=True,
+    )
+    out = lbs_forward(consts, _jnp(betas), _jnp(full_pose))
+    np.testing.assert_allclose(
+        np.asarray(out.vertices), v_ref.detach().numpy(), atol=1e-5
+    )
+    # our joints are the 21-joint output (16 chain + 5 tips); the reference
+    # lbs returns the 16 chain joints
+    np.testing.assert_allclose(
+        np.asarray(out.joints[:, :16]), j_ref.detach().numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.A), a_ref.detach().numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.v_posed), vposed_ref.detach().numpy(), atol=1e-5
+    )
