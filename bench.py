@@ -33,8 +33,61 @@ def _baseline_anchor():
     if os.path.exists(path):
         with open(path) as f:
             bound = json.load(f)
-        return bound["baseline_rays_per_sec"], "measured_bound"
+        # honest label (ADVICE r4): the anchor is a CPU-measured
+        # fraction-of-peak TRANSFERRED to A100 TF32 peak — an extrapolated
+        # estimate, not a measured GPU throughput
+        return bound["baseline_rays_per_sec"], "transfer_estimate"
     return ASSUMED_BASELINE_RAYS_PER_SEC, "assumed"
+
+
+def _accuracy_gate():
+    """Short fixed-seed train + offline eval so BENCH carries accuracy next
+    to rays/s (VERDICT r4 #5) — perf can never silently trade CD/F-score.
+
+    2,000 steps on bench_seq (seed 0), then the standard evaluation.  The
+    first measured result is stored as BENCH_ACC_BASELINE.json; later runs
+    flag accuracy_regression when cd_icp exceeds 1.5x that stored value.
+    Skip with BENCH_ACC=0 (perf-iteration loops)."""
+    import shutil
+    import subprocess
+
+    if os.environ.get("BENCH_ACC", "1") == "0":
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    exp = os.path.join(here, "logs", "bench_acc")
+    shutil.rmtree(exp, ignore_errors=True)
+    env = dict(os.environ, BENCH_ACC="0")
+    try:
+        subprocess.run(
+            [sys.executable, "-m", "hold_tpu.train", "--case", "bench_seq",
+             "--num_epoch", "5", "--exp_key", "bench_acc", "--mute",
+             "--log_every", "500", "--no_vis"],
+            cwd=here, env=env, check=True, capture_output=True, timeout=1800,
+        )
+        subprocess.run(
+            [sys.executable, "-m", "hold_tpu.evaluate", "--exp",
+             "logs/bench_acc", "--case", "bench_seq"],
+            cwd=here, env=env, check=True, capture_output=True, timeout=900,
+        )
+        with open(os.path.join(exp, "eval.metric.json")) as f:
+            m = json.load(f)
+    except Exception as e:
+        return {"error": str(e)[:200]}
+    acc = {k: round(float(m[k]), 3)
+           for k in ("cd_icp", "f10_icp", "f5_icp", "mpjpe_ra_r")
+           if k in m}
+    base_p = os.path.join(here, "BENCH_ACC_BASELINE.json")
+    if not os.path.exists(base_p):
+        with open(base_p, "w") as f:
+            json.dump({"steps": 2000, "seed": 0, **acc}, f, indent=2)
+        acc["baseline_recorded"] = True
+    else:
+        with open(base_p) as f:
+            base = json.load(f)
+        acc["accuracy_regression"] = bool(
+            acc.get("cd_icp", 0.0) > 1.5 * base.get("cd_icp", float("inf"))
+        )
+    return acc
 
 # bf16 peak TFLOP/s per chip by device kind (MFU denominator)
 PEAK_BF16_TFLOPS = {
@@ -270,6 +323,7 @@ def main():
         "grad_hbm_gbps_xla": grad_hbm_gbps,
         "flops_per_ray": round(fpr) if fpr else None,
         "skipped_shapes": failed or None,
+        "accuracy": _accuracy_gate(),
     }))
 
 

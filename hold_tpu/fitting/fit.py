@@ -278,6 +278,7 @@ def run_fit(
         p = optax.apply_updates(p, updates)
         return p, (adam_state, mask_state), loss, d
 
+    params0 = params
     lr = lr0
     best = np.inf
     plateau = 0
@@ -302,4 +303,15 @@ def run_fit(
             break
         if verbose and i % 50 == 0:
             print(f"  fit iter {i}: loss {loss_v:.4f} lr {lr:.2e}")
-    return params, history
+    # do-no-harm guard (VERDICT r4 #2): history[0] is the loss of the INPUT
+    # parameters (iter 0 evaluates loss before the first update applies).
+    # If fitting never beat that — e.g. a near-perfect init where the
+    # silhouette signal can only perturb depth — return the input params
+    # unchanged rather than a refinement that made things worse.  The
+    # reference has no such guard (model.py:161-199 only early-stops on lr);
+    # this is a deliberate safety addition, reported via `improved`.
+    finite = [h for h in history if np.isfinite(h)]
+    improved = bool(finite and min(finite[1:] or [np.inf]) < finite[0] - 1e-6)
+    if not improved:
+        params = params0
+    return params, history, improved

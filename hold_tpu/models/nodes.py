@@ -559,8 +559,13 @@ def _use_fused_shade(plans: NodePlans) -> bool:
     """Fused training-shade kernel: TPU only, supported net shapes only.
     HOLD_NO_FUSED_TRAIN=1 forces the chunked XLA path (A/B runs);
     HOLD_FUSED_TRAIN=interpret forces the kernel in interpret mode on any
-    backend (CPU end-to-end verification of the integration wiring)."""
-    if os.environ.get("HOLD_NO_FUSED_TRAIN"):
+    backend (CPU end-to-end verification of the integration wiring).
+    HOLD_NO_FUSED_RENDER implies HOLD_NO_FUSED_TRAIN: the render knob is the
+    'force the layer-by-layer XLA path' A/B switch, and letting the fused
+    TRAIN shade still run at inference would silently defeat that A/B."""
+    if os.environ.get("HOLD_NO_FUSED_TRAIN") or os.environ.get(
+        "HOLD_NO_FUSED_RENDER"
+    ):
         return False
     if (
         jax.devices()[0].platform != "tpu"

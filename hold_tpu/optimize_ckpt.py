@@ -131,10 +131,13 @@ def refine(args):
         prob1, every=max(args.iters // 12, 1)
     )
     p = build_fit_params(tables, scene.node_ids, obj_scale, sub)
-    p, hist = run_fit(
+    p, hist, improved = run_fit(
         prob1, p, freeze_scale=False, freeze_shape=False,
         num_iterations=args.iters, verbose=True, callback=rec1,
     )
+    if not improved:
+        print("Stage [1/2]: fit loss did not improve — keeping input "
+              "scale/shape (do-no-harm)")
     if rec1 is not None and rec1.save(os.path.join(vis_dir, "stage1.gif")):
         print(f"stage-1 fitting diagnostics -> {vis_dir}/stage1.gif")
     final_obj_scale = float(np.asarray(p["obj_scale"]))
@@ -157,20 +160,23 @@ def refine(args):
             prob2, every=max(args.iters // 6, 1)
         )
         p = build_fit_params(new_tables, scene.node_ids, final_obj_scale, idx)
-        p, hist = run_fit(
+        p, hist, improved = run_fit(
             prob2, p, freeze_scale=True, freeze_shape=True,
             num_iterations=args.iters, callback=rec2,
         )
         if rec2 is not None:
             rec2.save(os.path.join(vis_dir, f"stage2_{idx[0]:04d}.gif"))
-        for nid in scene.node_ids:
-            for k in ("transl", "global_orient"):
-                if k in p[nid]:
-                    arr = np.asarray(p[nid][k])
-                    if nid in ("right", "left") and k == "global_orient":
-                        continue  # frozen for hands
-                    new_tables[nid][k][idx] = arr
-        print(f"  frames {idx[0]}-{idx[-1]}: loss {hist[-1]:.4f}")
+        if improved:
+            for nid in scene.node_ids:
+                for k in ("transl", "global_orient"):
+                    if k in p[nid]:
+                        arr = np.asarray(p[nid][k])
+                        if nid in ("right", "left") and k == "global_orient":
+                            continue  # frozen for hands
+                        new_tables[nid][k][idx] = arr
+        print(f"  frames {idx[0]}-{idx[-1]}: loss {hist[0]:.4f} -> "
+              f"{hist[-1]:.4f} ({'kept' if improved else 'REJECTED, '
+              'do-no-harm'})")
 
     # ---- write back -------------------------------------------------------
     out_params = to_host(params)

@@ -122,21 +122,14 @@ def measure_cpu_matmul_peak(torch):
 
 
 def logical_flops_per_ray():
-    """FLOPs/ray of the identical math, from the bench's XLA cost analysis
-    (kept in the most recent BENCH_r*.json) — falls back to the analytic
-    figure recorded there across rounds (3.66 GF/ray)."""
-    import glob
+    """FLOPs/ray of the identical math — PINNED to the chunked-XLA cost
+    analysis of the un-fused pipeline (BENCH_r03: 3.66 GF/ray).
 
-    best = None
-    for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
-        try:
-            d = json.load(open(p))
-            v = (d.get("parsed") or d).get("flops_per_ray")
-            if v:
-                best = float(v)
-        except Exception:
-            pass
-    return best or 3.66e9
+    Deliberately NOT read back from the latest BENCH json (ADVICE r4): later
+    bench rounds add analytic Pallas-kernel FLOPs and FLOP-diet savings,
+    which would make the baseline anchor drift with our own optimizations —
+    the anchor must describe the REFERENCE's math, which is fixed."""
+    return 3.66e9
 
 
 def main():

@@ -26,9 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 
-# Two-tier suite: `pytest -m fast` is the <90 s CPU tier (losses, LBS,
-# sampler parity, config, transforms, ...); the full suite includes the
-# multi-minute golden/e2e modules below and is the nightly-style run.
+# Two-tier suite: `pytest -m fast` is the quick CPU tier (losses, LBS,
+# config, transforms, ...) — ~6 min on this image's single shared CPU core
+# (measured r5; the old "<90 s" claim assumed an idle multi-core host); the
+# full suite includes the multi-minute golden/e2e modules below and is the
+# nightly-style run.
 SLOW_MODULES = {
     "test_e2e",           # end-to-end training loops
     "test_knn",           # Pallas-vs-XLA KNN goldens (interpret mode)
@@ -45,6 +47,7 @@ SLOW_MODULES = {
     "test_real_data_paths",  # real-format fixture builds
     "test_arctic",        # ARCTIC pipeline fixtures
     "test_torch_parity",  # reference torch modules vs JAX, weight-copied
+    "test_multihost",     # real two-process jax.distributed exercise
 }
 
 

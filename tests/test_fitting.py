@@ -132,10 +132,11 @@ def test_fitting_recovers_object_translation():
     err0 = np.abs(
         np.asarray(params["object"]["transl"]) - gt_transl
     )[:, 0].max()
-    fitted, hist = run_fit(
+    fitted, hist, improved = run_fit(
         prob, params, freeze_scale=True, freeze_shape=True,
         num_iterations=80, lr0=5e-3, plateau_patience=10,
     )
+    assert improved
     err1 = np.abs(
         np.asarray(fitted["object"]["transl"]) - gt_transl
     )[:, 0].max()
