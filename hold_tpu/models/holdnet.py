@@ -36,7 +36,9 @@ from ..utils.mesh import mano_subdivision_operator
 from .mlp import (
     implicit_net_shapes,
     init_implicit_net,
+    init_proposal_net,
     init_rendering_net,
+    proposal_net_shapes,
     rendering_net_shapes,
 )
 from .density import init_laplace_density
@@ -86,6 +88,13 @@ def build_scene(opt_model, args, scene_data: dict) -> Scene:
         inverse_sphere_bg=True,
     )
     barf_cfg = (int(args.get("barf_s", 1000)), int(args.get("barf_e", 10000)))
+    import os as _os
+
+    prop_cfg = dict(opt_model.get("proposal", {}))
+    prop_enabled = bool(prop_cfg.get("enabled", False)) and not _os.environ.get(
+        "HOLD_NO_PROPOSAL"
+    )
+    prop_plan = proposal_net_shapes(prop_cfg) if prop_enabled else None
 
     servers: dict[str, Any] = {}
     plans: dict[str, NodePlans] = {}
@@ -105,6 +114,7 @@ def build_scene(opt_model, args, scene_data: dict) -> Scene:
                 barf_cfg=barf_cfg,
                 node_id=nid,
                 class_id=CLASS_IDS[nid],
+                proposal=prop_plan,
             )
             sub_ops[nid] = mano_subdivision_operator(
                 servers[nid].consts.faces, nid == "right"
@@ -127,6 +137,7 @@ def build_scene(opt_model, args, scene_data: dict) -> Scene:
                 barf_cfg=barf_cfg,
                 node_id=nid,
                 class_id=CLASS_IDS[nid],
+                proposal=prop_plan,
             )
     return Scene(
         node_ids=node_ids,
@@ -195,6 +206,11 @@ def init_scene_params(rng, scene: Scene, scene_data: dict) -> dict:
                 ),
                 "obj_scale": jnp.asarray(float(e["obj_scale"]), jnp.float32),
             }
+        if scene.plans[nid].proposal is not None:
+            rng, kp = jax.random.split(rng)
+            node["proposal"] = init_proposal_net(
+                kp, opt_model.get("proposal", {})
+            )
         params[nid] = node
     rng, kb = jax.random.split(rng)
     params["background"] = init_background(kb, opt_model, scene.n_frames)
@@ -403,6 +419,7 @@ def sample_all_z(
     step,
     epoch,
     training: bool = True,
+    proposal_mode: bool = False,
 ) -> dict:
     """Sampler-only stage: per-node error-bound z tables (stop-gradient).
 
@@ -427,6 +444,7 @@ def sample_all_z(
         out[nid] = fn(
             params[nid], scene.servers[nid], scene.plans[nid], batch,
             ray_dirs, cam_loc, step, epoch, keys[i], training,
+            proposal_mode=proposal_mode,
         )
     return out
 
@@ -493,6 +511,27 @@ def holdnet_forward(
                 )
             for tk, tv in tgt.items():
                 out[f"{nid}.{tk}"] = tv
+            # proposal distillation (sampler FLOP diet): regress the small
+            # surrogate onto the trunk's sdf at a strided subset of this
+            # step's actual ray samples — exactly the query distribution the
+            # sampler sees.  stop_gradient on BOTH points and targets: the
+            # proposal loss must touch only proposal params.
+            if "proposal" in params[nid] and "sample_sdf" in sample_dicts[nid]:
+                from .mlp import apply_proposal_net
+
+                plans_n = scene.plans[nid]
+                pts_p = jax.lax.stop_gradient(
+                    sample_dicts[nid]["canonical_pts"][:, :, ::6]
+                ).reshape(-1, 3)
+                tgt_p = jax.lax.stop_gradient(
+                    sample_dicts[nid]["sample_sdf"][:, :, ::6]
+                ).reshape(-1)
+                out[f"{nid}.proposal_pred"] = apply_proposal_net(
+                    params[nid]["proposal"], plans_n.proposal, pts_p,
+                    step=step, barf_cfg=plans_n.barf_cfg,
+                    embedding=plans_n.implicit["embedding"],
+                )
+                out[f"{nid}.proposal_tgt"] = tgt_p
 
     merged = merge_factors(factors_list, num_nodes=len(factors_list))
     comp = volumetric_render(merged, training)

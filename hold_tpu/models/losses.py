@@ -95,6 +95,22 @@ def compute_losses(batch: dict, outputs: dict, node_ids, step) -> dict:
                 jnp.asarray(outputs[f"{nid}.pts2mano_sdf_cano"]),
             )
 
+    # proposal-net distillation (sampler FLOP diet, no reference
+    # counterpart): L1 regression of the small sampler surrogate onto the
+    # trunk's sdf at this step's ray samples.  Both inputs and targets are
+    # stop-gradient upstream, so this term trains ONLY the proposal params
+    # and cannot perturb the reference-parity losses above.
+    prop = 0.0
+    for nid in node_ids:
+        if f"{nid}.proposal_pred" in outputs:
+            prop = prop + jnp.mean(
+                jnp.abs(
+                    outputs[f"{nid}.proposal_pred"]
+                    - outputs[f"{nid}.proposal_tgt"]
+                )
+            )
+    losses["loss/proposal"] = prop
+
     # thresholded eikonal (loss.py:83-88): only contributes above the floor
     eik = eik * 1e-5
     losses["loss/eikonal"] = jnp.where(eik > 8e-4, eik, 0.0)
@@ -106,6 +122,7 @@ def compute_losses(batch: dict, outputs: dict, node_ids, step) -> dict:
         + losses["loss/eikonal"]
         + losses["loss/mano_cano"]
         + losses["loss/opacity_sparse"]
+        + losses["loss/proposal"]
     )
     return losses
 

@@ -283,6 +283,60 @@ def apply_implicit_net(
 
 
 # --------------------------------------------------------------------------
+# Proposal net (sampler FLOP diet — no reference counterpart)
+# --------------------------------------------------------------------------
+#
+# A small canonical-SDF surrogate distilled ONLINE from the trunk: the
+# error-bound sampler only *ranks and places* z samples (stop-gradient by
+# contract, reference ray_sampler.py:169-177 runs its queries under
+# no_grad), so its table-building queries don't need the full 8x256 trunk.
+# The proposal regresses the trunk's sdf at the shade-stage sample points
+# (models/losses.py loss/proposal) and replaces the trunk in the sampler's
+# query loop after a warmup — cutting sampler query FLOPs ~40x while the
+# final 98-sample shade pass stays exact.  Accuracy is A/B-gated
+# (docs/performance.md).
+
+def proposal_net_shapes(opt: dict) -> dict:
+    width = int(opt.get("width", 64))
+    depth = int(opt.get("depth", 3))
+    multires = int(opt.get("multires", 6))
+    return {
+        "dims": [embed_dim(3, multires)] + [width] * depth + [1],
+        "multires": multires,
+    }
+
+
+def init_proposal_net(rng, opt: dict) -> dict:
+    plan = proposal_net_shapes(opt)
+    dims = plan["dims"]
+    layers = []
+    for l in range(len(dims) - 1):
+        rng, sub = jax.random.split(rng)
+        layers.append(_linear_params(sub, dims[l], dims[l + 1]))
+    return {"layers": layers}
+
+
+def apply_proposal_net(
+    params: dict,
+    plan: dict,
+    x: jnp.ndarray,  # (N, 3) canonical points
+    step=None,
+    barf_cfg: tuple[int, int] = (0, 1),
+    embedding: str = "barf",
+) -> jnp.ndarray:
+    """(N,) surrogate sdf.  Uses the SAME (annealed) positional embedding as
+    the trunk so the distillation target is representable at every step."""
+    embed = make_embedder(embedding, plan["multires"], *barf_cfg)
+    h = embed(x, step)
+    n = len(params["layers"])
+    for l, layer in enumerate(params["layers"]):
+        h = _apply_linear(layer, h)
+        if l < n - 1:
+            h = softplus100(h)
+    return h[..., 0].astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
 # RenderingNet (color field)
 # --------------------------------------------------------------------------
 

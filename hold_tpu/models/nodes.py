@@ -59,6 +59,7 @@ class NodePlans(NamedTuple):
     class_id: int
     knn_k: int = 15
     max_dist: float = 0.1
+    proposal: dict | None = None  # proposal-net plan (sampler FLOP diet)
 
 
 # --------------------------------------------------------------------------
@@ -264,6 +265,7 @@ def mano_node_forward(
             nrm_bn.reshape(-1, 3), nparams, B, P, S_f,
         ), {
             "canonical_pts": x_c_flat.reshape(B, P, S_f, 3),
+            "sample_sdf": sdf_bn.reshape(B, P, S_f),
             "cond_pose": cond_pose,
             "tfs": tfs,
             "verts_posed": verts_posed,
@@ -342,6 +344,7 @@ def mano_node_forward(
     }
     sample_dict = {
         "canonical_pts": x_c_flat.reshape(B, P, S_f, 3),
+        "sample_sdf": sdf_flat.reshape(B, P, S_f),
         "cond_pose": cond_pose,
         "tfs": tfs,
         "verts_posed": verts_posed,
@@ -476,6 +479,7 @@ def object_node_forward(
             nrm_bn.reshape(-1, 3), nparams, B, P, S_f,
         ), {
             "canonical_pts": x_c.reshape(B, P, S_f, 3),
+            "sample_sdf": sdf_bn.reshape(B, P, S_f),
             "tfs": tfs,
             "verts_posed": srv_out.verts,
         }
@@ -532,6 +536,7 @@ def object_node_forward(
     }
     sample_dict = {
         "canonical_pts": x_c.reshape(B, P, S_f, 3),
+        "sample_sdf": sdf_flat.reshape(B, P, S_f),
         "tfs": tfs,
         "verts_posed": srv_out.verts,
     }
@@ -690,13 +695,18 @@ def _fused_embed_plan(plans: NodePlans, step):
 
 
 def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
-                       step, epoch, rng, training):
+                       step, epoch, rng, training, proposal_mode=False):
     """Sampler-only stage for the MANO node (stop-gradient z table).
 
     The SDF queries here only *rank and place* samples (the reference runs
     them under no_grad); they execute with bf16 matmuls — sample placement
     tolerates the reduced precision and the MXU runs ~2x faster, while all
-    rendering/integration math stays f32."""
+    rendering/integration math stays f32.
+
+    proposal_mode=True (static): table-building queries run through the
+    distilled proposal net instead of the 8x256 trunk (~40x fewer query
+    FLOPs; see models/mlp.py proposal section). The final shade pass is
+    exact either way."""
     B, P = batch["uv"].shape[:2]
     frame_idx = batch["frame_idx"]
     pose = gather_mano_pose(nparams["tables"], frame_idx)
@@ -716,9 +726,36 @@ def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
 
     resolved = resolve_weight_norm(nparams["implicit"])
     implicit_bf16 = _bf16_tree(resolved)
-    fused = _use_fused_query(plans)
+    use_proposal = (
+        proposal_mode and plans.proposal is not None
+        and "proposal" in nparams
+    )
+    fused = _use_fused_query(plans) and not use_proposal
 
     query_z = None
+    if use_proposal:
+        from .mlp import apply_proposal_net
+
+        stride = _sampler_knn_stride()
+        q_verts = verts_posed[:, ::stride] if stride > 1 else verts_posed
+        q_skin = skin_w[:, ::stride] if stride > 1 else skin_w
+        prop_bf16 = _bf16_tree(nparams["proposal"])
+
+        def query_z(z_RS):
+            S = z_RS.shape[1]
+            pts = (
+                cam_loc[:, None, :] + z_RS[:, :, None] * ray_dirs[:, None, :]
+            ).reshape(B, P * S, 3)
+            x_c, _ = knn_inverse_warp(
+                pts, q_verts, q_skin, tfs,
+                K=plans.knn_k, max_dist=plans.max_dist,
+            )
+            sdf = apply_proposal_net(
+                prop_bf16, plans.proposal, x_c.reshape(-1, 3),
+                step=step, barf_cfg=plans.barf_cfg,
+                embedding=plans.implicit["embedding"],
+            )
+            return sdf.reshape(B * P, S)
     if fused:
         from ..ops.fused_query import (
             fused_hand_sampler_sdf_z, pack_rays8, pack_trunk_weights,
@@ -767,7 +804,7 @@ def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
 
 
 def object_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
-                         step, epoch, rng, training):
+                         step, epoch, rng, training, proposal_mode=False):
     """Sampler-only stage for the object node."""
     B, P = batch["uv"].shape[:2]
     pose = gather_object_pose(nparams["tables"], batch["frame_idx"])
@@ -778,9 +815,30 @@ def object_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
     tfs = srv_out.obj_tfs
     resolved = resolve_weight_norm(nparams["implicit"])
     implicit_bf16 = _bf16_tree(resolved)
-    fused = _use_fused_query(plans)
+    use_proposal = (
+        proposal_mode and plans.proposal is not None
+        and "proposal" in nparams
+    )
+    fused = _use_fused_query(plans) and not use_proposal
 
     query_z = None
+    if use_proposal:
+        from .mlp import apply_proposal_net
+
+        prop_bf16 = _bf16_tree(nparams["proposal"])
+
+        def query_z(z_RS):
+            S = z_RS.shape[1]
+            pts = (
+                cam_loc[:, None, :] + z_RS[:, :, None] * ray_dirs[:, None, :]
+            ).reshape(B, P * S, 3)
+            x_c = object_deform(pts, tfs, inverse=True)
+            sdf = apply_proposal_net(
+                prop_bf16, plans.proposal, x_c.reshape(-1, 3),
+                step=step, barf_cfg=plans.barf_cfg,
+                embedding=plans.implicit["embedding"],
+            )
+            return sdf.reshape(B * P, S)
     if fused:
         from ..ops.fused_query import (
             fused_object_sampler_sdf_z, pack_rays8, pack_trunk_weights,

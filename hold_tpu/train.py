@@ -35,9 +35,10 @@ from .utils.logger import StepTimer, Tracker
 from .utils.metrics import psnr
 
 
-def optimizer_for(args, params):
+def optimizer_for(args, params, proposal_lr: float = 1e-3):
     """Adam with pose tables at 0.1x lr (frozen if --freeze_pose); the object
-    scale stays a non-trained buffer during scene training."""
+    scale stays a non-trained buffer during scene training; the sampler
+    proposal nets get their own (faster) Adam — they chase the trunk."""
 
     def label_fn(tree):
         def walk(node, path):
@@ -45,6 +46,8 @@ def optimizer_for(args, params):
                 return {k: walk(v, path + (k,)) for k, v in node.items()}
             if isinstance(node, list):
                 return [walk(v, path + (i,)) for i, v in enumerate(node)]
+            if "proposal" in path:
+                return "proposal"
             if "tables" in path:
                 return "frozen" if args.freeze_pose else "pose"
             if path and path[-1] == "obj_scale":
@@ -58,6 +61,7 @@ def optimizer_for(args, params):
         {
             "main": optax.adam(lr, eps=1e-8),
             "pose": optax.adam(lr * 0.1, eps=1e-8),
+            "proposal": optax.adam(proposal_lr, eps=1e-8),
             "frozen": optax.set_to_zero(),
         },
         label_fn(params),
@@ -68,14 +72,34 @@ def optimizer_for(args, params):
 def make_train_step(scene, tx):
     """Two jitted stages: the (stop-gradient) error-bound sampler and the
     render+loss+grad step — compiled separately because the fused graph
-    crashes the TPU compiler's fusion pass at production sizes."""
+    crashes the TPU compiler's fusion pass at production sizes.
+
+    The sampler stage compiles twice when the proposal net is enabled: an
+    exact-trunk variant (warmup, while the surrogate distills) and the
+    proposal variant used afterwards.  The switch is a host-side decision on
+    the integer step, so neither graph retraces."""
     from .models.holdnet import sample_all_z
 
-    sample_fn = jax.jit(
-        lambda params, batch, key, step, epoch: sample_all_z(
-            params, scene, batch, key, step, epoch, training=True
+    sample_fns = {
+        mode: jax.jit(
+            lambda params, batch, key, step, epoch, _m=mode: sample_all_z(
+                params, scene, batch, key, step, epoch, training=True,
+                proposal_mode=_m,
+            )
         )
+        for mode in (False, True)
+    }
+    prop_cfg = scene.opt_model.get("proposal", {})
+    prop_on = any(
+        scene.plans[nid].proposal is not None for nid in scene.node_ids
     )
+    warmup = int(prop_cfg.get("warmup", 1000))
+
+    def sample_fn(params, batch, key, step, epoch, *, host_step=None):
+        use_prop = bool(
+            prop_on and host_step is not None and host_step >= warmup
+        )
+        return sample_fns[use_prop](params, batch, key, step, epoch)
 
     def step_fn(params, opt_state, batch, mesh_state, z_vals, key, step, epoch):
         def loss_fn(p):
@@ -95,9 +119,11 @@ def make_train_step(scene, tx):
 
     grad_fn = jax.jit(step_fn, donate_argnums=(0, 1))
 
-    def train_step(params, opt_state, batch, mesh_state, key, step, epoch):
+    def train_step(params, opt_state, batch, mesh_state, key, step, epoch,
+                   host_step=None):
         k_sample, k_loss = jax.random.split(key)
-        z_vals = sample_fn(params, batch, k_sample, step, epoch)
+        z_vals = sample_fn(params, batch, k_sample, step, epoch,
+                           host_step=host_step)
         return grad_fn(
             params, opt_state, batch, mesh_state, z_vals, k_loss, step, epoch
         )
@@ -138,7 +164,10 @@ def run_training(args, cfg, seq: SequenceData | None = None,
     log.info(f"experiment {tracker.exp_key}: case={args.case} "
              f"nodes={scene.node_ids} frames={seq.n_frames}")
 
-    tx = optimizer_for(args, params)
+    tx = optimizer_for(
+        args, params,
+        proposal_lr=float(opt_model.get("proposal", {}).get("lr", 1e-3)),
+    )
     opt_state = tx.init(params)
     train_step = make_train_step(scene, tx)
 
@@ -296,7 +325,7 @@ def run_training(args, cfg, seq: SequenceData | None = None,
         key, sub = jax.random.split(key)
         params, opt_state, aux = train_step(
             params, opt_state, batch, mesh_state, sub,
-            jnp.asarray(step), jnp.asarray(epoch),
+            jnp.asarray(step), jnp.asarray(epoch), host_step=step,
         )
         if step % args.log_every == 0:
             aux = {k: float(v) for k, v in aux.items()}

@@ -35,10 +35,28 @@ def save_checkpoint(log_dir: str, step: int, state: dict, keep_last: bool = True
     return path
 
 
+def _merge_into_template(tmpl, restored):
+    """Fill `tmpl` from `restored` where keys exist; keep template values
+    (fresh inits) for keys the checkpoint predates — lets older checkpoints
+    restore into a grown params tree (e.g. the r5 sampler proposal nets)."""
+    if isinstance(tmpl, dict) and isinstance(restored, dict):
+        return {
+            k: _merge_into_template(v, restored[k]) if k in restored else v
+            for k, v in tmpl.items()
+        }
+    if isinstance(tmpl, list) and isinstance(restored, list):
+        return [
+            _merge_into_template(t, r) for t, r in zip(tmpl, restored)
+        ] + list(tmpl[len(restored):])
+    return restored if restored is not None else tmpl
+
+
 def load_checkpoint(path: str, template: dict) -> dict:
     """Restore `template`'s entries from a checkpoint; tolerates checkpoints
     that carry extra top-level entries (e.g. optimizer state) the caller
-    didn't ask for."""
+    didn't ask for, and checkpoints MISSING subtrees the template has (new
+    param groups added after the checkpoint was written keep their template
+    init)."""
     path = os.path.abspath(path)
     if os.path.islink(path):
         path = os.path.join(os.path.dirname(path), os.readlink(path))
@@ -46,10 +64,13 @@ def load_checkpoint(path: str, template: dict) -> dict:
     try:
         return c.restore(path, template)
     except ValueError:
-        # checkpoint has extra top-level entries the template didn't name
-        # (this orbax lacks partial_restore): restore raw, subset by key
+        # structure mismatch (extra top-level entries, or the checkpoint
+        # predates newly-added subtrees): restore raw, merge by key
         full = c.restore(path)
-        return {k: full[k] for k in template}
+        return {
+            k: _merge_into_template(template[k], full.get(k))
+            for k in template
+        }
 
 
 def latest_checkpoint(log_dir: str) -> str | None:

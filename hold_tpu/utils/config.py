@@ -102,6 +102,18 @@ DEFAULT_CONFIG: dict = {
             "dim_frame_encoding": 32,
         },
         "density": {"params_init": {"beta": 0.1}, "beta_min": 0.0001},
+        # sampler FLOP diet (no reference counterpart): small canonical-SDF
+        # surrogate distilled online from the trunk; replaces the trunk in
+        # the error-bound sampler's table-building queries after `warmup`
+        # steps.  HOLD_NO_PROPOSAL=1 disables (A/B knob).
+        "proposal": {
+            "enabled": True,
+            "width": 64,
+            "depth": 3,
+            "multires": 6,
+            "warmup": 1000,
+            "lr": 1.0e-03,
+        },
         "ray_sampler": {
             "near": 0.0,
             "N_samples": 64,

@@ -48,6 +48,7 @@ SLOW_MODULES = {
     "test_arctic",        # ARCTIC pipeline fixtures
     "test_torch_parity",  # reference torch modules vs JAX, weight-copied
     "test_multihost",     # real two-process jax.distributed exercise
+    "test_proposal",      # proposal-net distillation + sampler integration
 }
 
 
