@@ -32,7 +32,11 @@ from ..ops.knn import (
     skinning,
     skinning_jacobian,
 )
-from ..render.ray_sampler import SamplerConfig, error_bound_z_vals
+from ..render.ray_sampler import (
+    SamplerConfig,
+    error_bound_z_vals,
+    node_ray_interval,
+)
 from ..utils.transforms import inverse_mat3, safe_norm
 from ..ops.chunk import map_chunked
 from .density import laplace_beta, laplace_density
@@ -560,6 +564,26 @@ def _node_outputs(plans, z_vals, sdf_flat, rgb, normals, nparams, B, P, S_f):
     }
 
 
+def _use_node_bounds() -> bool:
+    """Per-node ray-interval tightening in the sampler stage (FLOP diet).
+    Opt-in via HOLD_NODE_BOUNDS=1 until the accuracy A/B on TPU lands
+    (docs/performance.md); default is the reference's full-range sampling
+    (ray_sampler.py:139-141 samples every node over the scene sphere)."""
+    return bool(os.environ.get("HOLD_NODE_BOUNDS"))
+
+
+def _node_bound_sphere(verts_posed: jnp.ndarray, P: int, margin: float):
+    """(B, V, 3) posed points -> per-ray (R, 3) centers + (R,) radii."""
+    B = verts_posed.shape[0]
+    center_b = jnp.mean(verts_posed, axis=1)  # (B, 3)
+    rad_b = jnp.max(
+        jnp.linalg.norm(verts_posed - center_b[:, None], axis=-1), axis=1
+    ) * margin  # (B,)
+    center = jnp.broadcast_to(center_b[:, None, :], (B, P, 3)).reshape(-1, 3)
+    radius = jnp.broadcast_to(rad_b[:, None], (B, P)).reshape(-1)
+    return jax.lax.stop_gradient(center), jax.lax.stop_gradient(radius)
+
+
 def _use_fused_shade(plans: NodePlans) -> bool:
     """Fused training-shade kernel: TPU only, supported net shapes only.
     HOLD_NO_FUSED_TRAIN=1 forces the chunked XLA path (A/B runs);
@@ -796,10 +820,16 @@ def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
         out = implicit_sdf_from_trunk(implicit_bf16, h)
         return out.astype(jnp.float32).reshape(B * P, S)
 
+    near_n = far_n = None
+    if _use_node_bounds():
+        c_r, r_r = _node_bound_sphere(verts_posed, P, 1.15)
+        near_n, far_n = node_ray_interval(
+            cam_loc, ray_dirs, c_r, r_r + plans.max_dist, plans.sampler
+        )
     beta0 = jax.lax.stop_gradient(laplace_beta(nparams["density"]))
     return error_bound_z_vals(
         rng, sampler_sdf, ray_dirs, cam_loc, beta0, plans.sampler, training,
-        query_z_fn=query_z,
+        query_z_fn=query_z, near=near_n, far=far_n,
     )
 
 
@@ -872,8 +902,19 @@ def object_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
         out = implicit_sdf_from_trunk(implicit_bf16, h)
         return out.astype(jnp.float32).reshape(B * P, S)
 
+    near_n = far_n = None
+    if _use_node_bounds():
+        # SfM-point bound with a generous margin: the object's SDF surface
+        # can exceed the sparse cloud (meshing grids 2x its bbox), and early
+        # training starts from the geometric-init sphere — floor the radius
+        # so that sphere is always inside the interval.
+        c_r, r_r = _node_bound_sphere(srv_out.verts, P, 1.75)
+        r_r = jnp.maximum(r_r, 0.25 * plans.sampler.scene_bounding_sphere)
+        near_n, far_n = node_ray_interval(
+            cam_loc, ray_dirs, c_r, r_r, plans.sampler
+        )
     beta0 = jax.lax.stop_gradient(laplace_beta(nparams["density"]))
     return error_bound_z_vals(
         rng, sampler_sdf, ray_dirs, cam_loc, beta0, plans.sampler, training,
-        query_z_fn=query_z,
+        query_z_fn=query_z, near=near_n, far=far_n,
     )

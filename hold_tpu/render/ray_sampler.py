@@ -54,10 +54,13 @@ def uniform_z_vals(
     N: int,
     training: bool,
 ) -> jnp.ndarray:
-    """Stratified (training) or even (eval) samples in [near, far]; (R, N)."""
+    """Stratified (training) or even (eval) samples in [near, far]; (R, N).
+    near/far: float or (R, 1) arrays."""
     R = ray_dirs.shape[0]
     t = jnp.linspace(0.0, 1.0, N)
-    near_arr = jnp.full((R, 1), near)
+    near_arr = jnp.broadcast_to(
+        jnp.asarray(near, jnp.float32).reshape(-1, 1), (R, 1)
+    )
     far_arr = jnp.broadcast_to(jnp.asarray(far, jnp.float32).reshape(-1, 1), (R, 1))
     z = near_arr * (1.0 - t)[None] + far_arr * t[None]
     if training and rng is not None:
@@ -168,6 +171,8 @@ def error_bound_z_vals(
     cfg: SamplerConfig,
     training: bool,
     query_z_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    near: jnp.ndarray | None = None,  # (R, 1) per-ray near override
+    far: jnp.ndarray | None = None,  # (R, 1) per-ray far override
 ) -> jnp.ndarray:
     """Final z values per ray: (R, N_samples + 2 + N_samples_extra).
 
@@ -187,14 +192,17 @@ def error_bound_z_vals(
         jax.random.split(rng, 4) if rng is not None else [None] * 4
     )
 
-    if cfg.inverse_sphere_bg:
-        far = get_sphere_intersections(
-            cam_loc, ray_dirs, r=cfg.scene_bounding_sphere
-        )[:, 1:]
-    else:
-        far = jnp.full((R, 1), 2.0 * cfg.scene_bounding_sphere)
+    if far is None:
+        if cfg.inverse_sphere_bg:
+            far = get_sphere_intersections(
+                cam_loc, ray_dirs, r=cfg.scene_bounding_sphere
+            )[:, 1:]
+        else:
+            far = jnp.full((R, 1), 2.0 * cfg.scene_bounding_sphere)
+    if near is None:
+        near = jnp.full((R, 1), cfg.near)
 
-    z0 = uniform_z_vals(keys[0], ray_dirs, cam_loc, cfg.near, far,
+    z0 = uniform_z_vals(keys[0], ray_dirs, cam_loc, near, far,
                         cfg.N_samples_eval, training)
 
     def query(z):
@@ -313,7 +321,7 @@ def error_bound_z_vals(
     z_samples = sample_pdf(z_vals, cdf, u)
 
     # extra samples: near, far, N_extra picks from the refined z table
-    near_col = jnp.full((R, 1), cfg.near)
+    near_col = jnp.broadcast_to(near, (R, 1))
     far_col = far
     if cfg.N_samples_extra > 0:
         M = z_vals.shape[1]
@@ -331,6 +339,46 @@ def error_bound_z_vals(
     # cutting the gradient here keeps the whole refinement graph out of the
     # backward pass
     return jax.lax.stop_gradient(z_out)
+
+
+def node_ray_interval(
+    cam_loc: jnp.ndarray,  # (R, 3)
+    ray_dirs: jnp.ndarray,  # (R, 3) unit
+    center: jnp.ndarray,  # (R, 3) node bounding-sphere center (deform space)
+    radius: jnp.ndarray,  # (R,) or scalar bounding-sphere radius
+    cfg: SamplerConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-ray [near, far] clipped to the node's bounding sphere.
+
+    FLOP-diet enabler (no reference counterpart — the reference samples every
+    node over the full scene range, ray_sampler.py:139-141): a hand occupies
+    ~1/20 of the scene-sphere chord, so sampling only the ray∩node-sphere
+    segment concentrates the SAME sample budget ~20x tighter.  Rays that
+    miss the sphere entirely collapse to a degenerate interval at the scene
+    exit — their samples sit far from the node, contribute ~zero density,
+    and the composite is unchanged.
+    """
+    if cfg.inverse_sphere_bg:
+        scene_far = get_sphere_intersections(
+            cam_loc, ray_dirs, r=cfg.scene_bounding_sphere
+        )[:, 1:]
+    else:
+        scene_far = jnp.full((cam_loc.shape[0], 1), 2.0 * cfg.scene_bounding_sphere)
+    oc = cam_loc - center
+    b = jnp.sum(oc * ray_dirs, axis=-1, keepdims=True)
+    disc = b * b - (
+        jnp.sum(oc * oc, axis=-1, keepdims=True)
+        - jnp.reshape(radius, (-1, 1)) ** 2
+    )
+    hit = disc > 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = jnp.clip(-b - sq, cfg.near, None)
+    t1 = jnp.clip(-b + sq, cfg.near, None)
+    t0 = jnp.minimum(t0, scene_far)
+    t1 = jnp.minimum(t1, scene_far)
+    near = jnp.where(hit & (t1 > t0), t0, scene_far)
+    far = jnp.where(hit & (t1 > t0), t1, scene_far)
+    return near, far
 
 
 def inverse_sphere_z_vals(

@@ -208,6 +208,12 @@ def test_integration_grads_match_xla_path(monkeypatch, tmp_path):
     flat_f = jax.tree_util.tree_leaves(grads_f)
     assert len(flat_x) == len(flat_f)
     for (path, a), b in zip(flat_x, flat_f):
+        if "proposal" in jax.tree_util.keystr(path):
+            # the proposal net distills toward sample_sdf, which is
+            # bf16-path-dependent (fused vs XLA shade); its L1 sign-gradient
+            # flips near zero, so these grads legitimately differ between
+            # paths. Distillation itself is covered by test_proposal.py.
+            continue
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         scale = max(np.abs(a).max(), 1e-6)
         # 3e-5 absolute floor: the two paths round bf16 intermediates in
