@@ -95,6 +95,7 @@ def generate_sequence(
     seed: int = 0,
     two_hands: bool = False,
     pose_noise: float = 0.0,
+    pose_noise_mode: str = "all",
 ) -> str:
     """Render a synthetic hand+object sequence.
 
@@ -104,7 +105,17 @@ def generate_sequence(
     initializes from) are perturbed with Gaussian noise of this std (radians
     on rotations, pose_noise*0.05 m on translations).  The unperturbed truth
     is kept under ``entities_gt`` for evaluation (eval/io_pred.py prefers it)
-    — so pose refinement can be measured against real ground truth."""
+    — so pose refinement can be measured against real ground truth.
+
+    pose_noise_mode selects WHICH parameters are corrupted:
+    - "all": hand pose (articulation + global orient), hand/object
+      translations, object rotation — simulates hand-estimator noise, but
+      refinement (ours and the reference's fitting.py:58-68) keeps hand
+      articulation/orient FROZEN, so part of this noise is unfixable by
+      design.
+    - "trans": only the parameters refinement actually optimizes — hand
+      translation, object rotation + translation — the SfM/registration
+      error component refinement exists to remove."""
     import cv2
     import jax
     import jax.numpy as jnp
@@ -244,10 +255,11 @@ def generate_sequence(
         nrng = np.random.RandomState(seed + 7)
         for h in hands:
             e = entities[h]
-            e["hand_poses"] = (
-                e["hand_poses"] + nrng.randn(*e["hand_poses"].shape)
-                * pose_noise
-            ).astype(np.float32)
+            if pose_noise_mode == "all":
+                e["hand_poses"] = (
+                    e["hand_poses"] + nrng.randn(*e["hand_poses"].shape)
+                    * pose_noise
+                ).astype(np.float32)
             e["hand_trans"] = (
                 e["hand_trans"] + nrng.randn(*e["hand_trans"].shape)
                 * pose_noise * 0.05
@@ -287,10 +299,15 @@ def main():
     ap.add_argument("--pose_noise", type=float, default=0.0,
                     help="std of Gaussian noise on the init poses written to"
                          " data.npy (truth kept in entities_gt for eval)")
+    ap.add_argument("--pose_noise_mode", default="all",
+                    choices=("all", "trans"),
+                    help="'trans' corrupts only refinement-optimizable "
+                         "params (translations + object rotation)")
     args = ap.parse_args()
     build = generate_sequence(
         args.out, args.frames, (args.height, args.width), args.seed,
         args.two_hands, pose_noise=args.pose_noise,
+        pose_noise_mode=args.pose_noise_mode,
     )
     print(f"Wrote synthetic sequence to {build}")
 

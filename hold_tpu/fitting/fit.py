@@ -69,6 +69,7 @@ class FittingProblem:
         contact_idx: np.ndarray,
         face_chunk: int = 64,
         sigma: float = 1e-6,
+        contact_thres: float = 0.0,
     ):
         self.servers = servers
         self.node_ids = list(servers.keys())
@@ -90,6 +91,7 @@ class FittingProblem:
         self.contact_idx = jnp.asarray(contact_idx)
         self.face_chunk = face_chunk
         self.sigma = sigma
+        self.contact_thres = float(contact_thres)
 
     # -- forward ------------------------------------------------------------
 
@@ -137,7 +139,17 @@ class FittingProblem:
 
     def loss_single_hand(self, out: dict, flag: str) -> dict:
         tips = out[f"{flag}.v3d_c"][:, self.contact_idx]
-        loss_contact = jnp.mean(_min_dist2(tips, out["object.v3d_c"]))
+        d2 = _min_dist2(tips, out["object.v3d_c"])
+        if self.contact_thres > 0.0:
+            # deadzone (deviation, opt-in via --contact_thres; default 0 is
+            # reference parity, loss.py:92 penalises any tip-object gap):
+            # the unthresholded pull is scale<->depth degenerate with the
+            # silhouette term and drags already-touching inits (see
+            # docs/pipeline.md), so stop pulling once tips are within the
+            # threshold — mirroring the deadzone the reference itself uses
+            # in its two-hand variant (loss.py:135-140).
+            d2 = jnp.where(d2 < self.contact_thres**2, 0.0, d2)
+        loss_contact = jnp.mean(d2)
 
         valid_o = 1.0 - self.targets[flag]
         err_o = jnp.abs(out["object.mask"] - self.targets["object"]) * valid_o

@@ -58,14 +58,17 @@ def entity_masks(raw_masks: np.ndarray, node_ids) -> dict:
     return out
 
 
-def load_fitting_inputs(exp_dir: str, seq: SequenceData, target_faces=5000):
+def load_fitting_inputs(exp_dir: str, seq: SequenceData, target_faces=5000,
+                        ckpt: str | None = None):
     """Checkpoint + misc -> servers, faces, tables (io/optim.py role, incl.
     decimating the cano object mesh for the silhouette render,
-    io/optim.py:92-109)."""
+    io/optim.py:92-109).  ckpt pins a specific checkpoint (the reference's
+    explicit --ckpt_p); default is the experiment's newest — note a previous
+    refinement's step_999000000 sorts last, so reruns must pass ckpt."""
     from .eval.io_pred import load_experiment
     from .models.object_model import build_object_server
 
-    params, misc, scene = load_experiment(exp_dir, seq)
+    params, misc, scene = load_experiment(exp_dir, seq, ckpt=ckpt)
     tables = {nid: to_host(params[nid]["tables"]) for nid in scene.node_ids}
     obj_scale = float(np.asarray(params["object"]["obj_scale"]))
 
@@ -96,7 +99,7 @@ def load_fitting_inputs(exp_dir: str, seq: SequenceData, target_faces=5000):
 def refine(args):
     seq = SequenceData(args.case, args.data_root)
     params, tables, servers, faces, obj_scale, scene = load_fitting_inputs(
-        args.exp, seq
+        args.exp, seq, ckpt=(args.ckpt or None)
     )
     n_frames = seq.n_frames
     contact_idx = load_contact_idx()
@@ -117,6 +120,7 @@ def refine(args):
             servers, faces,
             {k: v[frame_idx] for k, v in targets_all.items()},
             w2c_all[frame_idx], K_scaled, seq.scale, imsize, contact_idx,
+            contact_thres=args.contact_thres,
         )
 
     # ---- stage 1: scale + shape on a linspace subsample -------------------
@@ -203,6 +207,13 @@ def main():
     ap.add_argument("--iters", type=int, default=500)
     ap.add_argument("--target_dim", type=int, default=300)
     ap.add_argument("--inspect_idx", type=int, default=None)
+    ap.add_argument("--ckpt", default="",
+                    help="checkpoint dir to refine (default: newest under "
+                         "--exp; pass the last TRAINING step to rerun "
+                         "refinement after a previous step_999000000)")
+    ap.add_argument("--contact_thres", type=float, default=0.0,
+                    help="deadzone (scene units) for the single-hand contact"
+                         " pull; 0 = reference parity (fitting/loss.py:92)")
     ap.add_argument("--no_vis", action="store_true",
                     help="skip fitting-diagnostic GIFs (fit_vis/)")
     args = ap.parse_args()

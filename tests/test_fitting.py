@@ -149,3 +149,59 @@ def test_fitting_recovers_object_translation():
     np.testing.assert_allclose(
         float(fitted["obj_scale"]), float(params["obj_scale"]), atol=1e-7
     )
+
+
+def test_contact_deadzone():
+    """contact_thres deadzone: tips within the threshold contribute zero
+    contact loss/gradient; default 0 preserves reference parity
+    (fitting/loss.py:92 penalises any tip-object gap)."""
+    prob, params, _ = _make_problem(np.array([0.0, 0.0, 0.0]))
+    out = prob.forward(params)
+    d_ref = prob.loss_single_hand(out, "right")
+    assert float(d_ref["fine_ho"]) > 0.0  # unthresholded pull at GT pose
+
+    max_gap = float(
+        jnp.max(
+            jnp.sqrt(
+                jnp.maximum(
+                    jnp.min(
+                        jnp.sum(
+                            (out["right.v3d_c"][:, prob.contact_idx][:, :, None]
+                             - out["object.v3d_c"][:, None]) ** 2, -1
+                        ),
+                        axis=-1,
+                    ),
+                    0.0,
+                )
+            )
+        )
+    )
+    prob.contact_thres = max_gap * 1.01
+    d_dz = prob.loss_single_hand(out, "right")
+    assert float(d_dz["fine_ho"]) == 0.0
+    # mask terms unaffected
+    np.testing.assert_allclose(
+        float(d_dz["mask_o"]), float(d_ref["mask_o"]), rtol=1e-6
+    )
+
+
+def test_synthetic_trans_noise_mode(tmp_path):
+    """pose_noise_mode='trans' corrupts only refinement-optimizable params:
+    hand articulation/orient stays clean, translations + object pose move."""
+    import os
+
+    from hold_tpu.data.synthetic import generate_sequence
+
+    build = generate_sequence(
+        str(tmp_path / "seq"), n_frames=3, img_hw=(48, 64), seed=0,
+        pose_noise=0.2, pose_noise_mode="trans",
+    )
+    data = np.load(os.path.join(build, "data.npy"), allow_pickle=True).item()
+    ent, gt = data["entities"], data["entities_gt"]
+    np.testing.assert_array_equal(
+        ent["right"]["hand_poses"], gt["right"]["hand_poses"]
+    )
+    assert np.abs(ent["right"]["hand_trans"] - gt["right"]["hand_trans"]).max() > 0
+    assert np.abs(
+        ent["object"]["object_poses"] - gt["object"]["object_poses"]
+    ).max() > 0
