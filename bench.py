@@ -145,9 +145,17 @@ def main():
     args = Cfg({"lr": 1e-4, "freeze_pose": False})
     tx = optimizer_for(args, params0)
 
+    # steady-state sampler: past the 1k-step warmup, training uses the
+    # distilled proposal net for table-building (train.py host-side switch),
+    # so that is the production throughput to report; the 2k-step accuracy
+    # gate below trains through the same switch and carries the quality.
+    prop_enabled = any(
+        scene.plans[nid].proposal is not None for nid in scene.node_ids
+    )
     sample_fn = jax.jit(
         lambda params, batch, key, step, epoch: sample_all_z(
-            params, scene, batch, key, step, epoch, training=True
+            params, scene, batch, key, step, epoch, training=True,
+            proposal_mode=prop_enabled,
         )
     )
 
@@ -237,7 +245,11 @@ def main():
                 from hold_tpu.ops.fused_shade import (
                     shade_train_flops_per_step,
                 )
-                f_s += sampler_query_flops_per_step(scene, rays)
+                if not prop_enabled:
+                    # proposal-mode queries run in plain XLA (counted by the
+                    # cost model already); only the fused Pallas query path
+                    # reports zero FLOPs and needs the analytic add
+                    f_s += sampler_query_flops_per_step(scene, rays)
                 if not os.environ.get("HOLD_NO_FUSED_TRAIN"):
                     f_g += shade_train_flops_per_step(scene, rays)
             stage_cost = {
