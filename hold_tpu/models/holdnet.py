@@ -86,6 +86,7 @@ def build_scene(opt_model, args, scene_data: dict) -> Scene:
         add_tiny=opt_model["ray_sampler"]["add_tiny"],
         scene_bounding_sphere=opt_model["scene_bounding_sphere"],
         inverse_sphere_bg=True,
+        conv_check=opt_model["ray_sampler"].get("conv_check", "current"),
     )
     barf_cfg = (int(args.get("barf_s", 1000)), int(args.get("barf_e", 10000)))
     import os as _os

@@ -124,6 +124,10 @@ DEFAULT_CONFIG: dict = {
             "max_total_iters": 5,
             "N_samples_inverse_sphere": 32,
             "add_tiny": 1.0e-06,
+            # bisection convergence test: "current" (training default,
+            # measured better on bench_seq — docs/pipeline.md) or "beta0"
+            # (reference parity, ray_sampler.py:207-211)
+            "conv_check": "current",
         },
         "scene_bounding_sphere": 3.0,
     },

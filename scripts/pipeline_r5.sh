@@ -5,12 +5,13 @@
 # Same flow and step counts as pipeline_longrun.sh (reference
 # docs/usage.md:103-112: pretrain -> optimize_ckpt -> final train ->
 # evaluate), with the round-5 changes under test:
-#   - parity-correct sampler bisection (torch-verified, r5)
+#   - sampler conv_check="current" training default (docs/pipeline.md: the
+#     torch-parity-faithful "beta0" check measured consistently worse on
+#     bench_seq — 10k pretrain CD_ICP 1.69 vs 0.66, logs/lr5_pre_beta0)
 #   - do-no-harm refinement guard (fitting/fit.py)
 # and the still-unvalidated perf knobs held OFF for this flagship run
 # (proposal net off; node-bounds are opt-in and not set), so the only
-# deltas vs the successful lr5_nopose 40k run are the bisection fix and
-# the refined-pose init.
+# delta vs the successful lr5_nopose 40k run is the refined-pose init.
 #
 # Fresh dirs (lr5_pre / lr5_final): optimize_ckpt and evaluate load the
 # LATEST checkpoint, and lr4_pre's latest is the r4 un-guarded refined one.

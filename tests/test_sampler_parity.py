@@ -81,9 +81,14 @@ def np_reference_sampler(sdf_fn, dirs, cam, beta0, cfg: SamplerConfig):
         d_star = np.where(np.sign(sdf[:, 1:]) * np.sign(sdf[:, :-1]) == 1.0,
                           d_star, 0.0)
 
-        # convergence test at beta0 (ray_sampler.py:207-211) — the reference
-        # passes beta0 into get_error_bound here, not the current beta
-        err = np_error_bound(beta0, np.full((R, 1), beta0), sdf, z_vals,
+        # convergence test (SamplerConfig.conv_check): "beta0" is the
+        # reference's semantics (ray_sampler.py:207-211 passes beta0 into
+        # get_error_bound); "current" is the training default deviation
+        conv_beta = (
+            np.full((R, 1), beta0) if cfg.conv_check == "beta0"
+            else beta[:, None]
+        )
+        err = np_error_bound(beta0, conv_beta, sdf, z_vals,
                              dists, d_star, cfg.eps)
         beta = np.where(err <= cfg.eps, beta0, beta)
         bmin = np.full(R, beta0)
@@ -143,7 +148,15 @@ def np_reference_sampler(sdf_fn, dirs, cam, beta0, cfg: SamplerConfig):
     return np.sort(np.concatenate([z_samples, z_extra], -1), -1)
 
 
-def test_sampler_matches_reference_transcription():
+import pytest
+
+
+@pytest.mark.parametrize("conv_check", ["beta0", "current"])
+def test_sampler_matches_reference_transcription(conv_check):
+    """beta0: literal reference semantics.  current: the training-default
+    deviation (docs/pipeline.md) — same transcription with the convergence
+    test at the ray's current beta, so the deviation itself is golden-pinned
+    too."""
     R = 32
     rng = np.random.RandomState(0)
     dirs = rng.randn(R, 3)
@@ -165,6 +178,7 @@ def test_sampler_matches_reference_transcription():
     cfg = SamplerConfig(
         N_samples=32, N_samples_eval=48, N_samples_extra=16,
         max_total_iters=4, beta_iters=8, scene_bounding_sphere=3.0,
+        conv_check=conv_check,
     )
     beta0 = 0.02
     z_ref = np_reference_sampler(np_sdf, dirs, cam, beta0, cfg)

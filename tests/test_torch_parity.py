@@ -276,6 +276,7 @@ def test_error_bound_sampler_matches_reference():
         near=0.0, N_samples=24, N_samples_eval=32, N_samples_extra=8,
         eps=0.1, beta_iters=10, max_total_iters=4, add_tiny=1e-6,
         scene_bounding_sphere=3.0, inverse_sphere_bg=True,
+        conv_check="beta0",  # the reference's convergence semantics
     )
 
     sampler = ErrorBoundSampler(
