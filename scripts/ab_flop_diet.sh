@@ -35,13 +35,14 @@ run_one prop_nb   "HOLD_NODE_BOUNDS=1" ""
 run_one prop_nb64 "HOLD_NODE_BOUNDS=1" "--config confs/ab_eval64.yaml"
 run_one prop_nb64_s4 "HOLD_NODE_BOUNDS=1 HOLD_SAMPLER_KNN_STRIDE=4" "--config confs/ab_eval64.yaml"
 run_one prop_nb64r4_s4 "HOLD_NODE_BOUNDS=1 HOLD_SAMPLER_KNN_STRIDE=4" "--config confs/ab_eval64r4.yaml"
+run_one full_diet "HOLD_NODE_BOUNDS=1 HOLD_SAMPLER_KNN_STRIDE=4" "--config confs/ab_full_diet.yaml"
 
 stamp "=== summary ==="
 python - <<'EOF'
 import json, re, os
 rows = []
 for tag in ("base", "prop", "prop_nb", "prop_nb64", "prop_nb64_s4",
-            "prop_nb64r4_s4"):
+            "prop_nb64r4_s4", "full_diet"):
     d = f"logs/ab_{tag}"
     try:
         m = json.load(open(os.path.join(d, "eval.metric.json")))
