@@ -197,7 +197,7 @@ def run_training(args, cfg, seq: SequenceData | None = None,
             params = state["params"]
             start_step = int(state["step"])
             log.info(f"resuming from {last} at step {start_step}")
-    if args.load_pose:
+    if args.load_pose and start_step == 0:
         from .utils.checkpoint import load_params_subset
 
         params = load_params_subset(
@@ -205,6 +205,11 @@ def run_training(args, cfg, seq: SequenceData | None = None,
             lambda path: "tables" in path or path[-1:] == ("obj_scale",),
         )
         log.info(f"loaded pose tables from {args.load_pose}")
+    elif args.load_pose:
+        # resumed run: the resumed tables already incorporate (and have
+        # trained past) the pose init — re-applying it would clobber
+        # start_step steps of pose recovery
+        log.info(f"resume at step {start_step}: NOT re-applying --load_pose")
     if args.get("shape_init"):
         # hand canonical-SDF warm start from a pretrained experiment
         # (hold_net.py:136-152 role: implicit networks only, background and
