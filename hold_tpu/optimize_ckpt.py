@@ -124,32 +124,48 @@ def refine(args):
         )
 
     # ---- stage 1: scale + shape on a linspace subsample -------------------
-    print("Stage [1/2]: optimizing object scale and hand shape")
-    from .fitting.diagnostics import FitRecorder
-
     vis_dir = os.path.join(args.exp, "fit_vis")
     no_vis = bool(getattr(args, "no_vis", False))
-    sub = np.linspace(0, n_frames - 1, min(args.batch_size, n_frames)).astype(int)
-    prob1 = make_problem(sub)
-    rec1 = None if no_vis else FitRecorder(
-        prob1, every=max(args.iters // 12, 1)
-    )
-    p = build_fit_params(tables, scene.node_ids, obj_scale, sub)
-    p, hist, improved = run_fit(
-        prob1, p, freeze_scale=False, freeze_shape=False,
-        num_iterations=args.iters, verbose=True, callback=rec1,
-    )
-    if not improved:
-        print("Stage [1/2]: fit loss did not improve — keeping input "
-              "scale/shape (do-no-harm)")
-    if rec1 is not None and rec1.save(os.path.join(vis_dir, "stage1.gif")):
-        print(f"stage-1 fitting diagnostics -> {vis_dir}/stage1.gif")
-    final_obj_scale = float(np.asarray(p["obj_scale"]))
-    print(f"Stage [1/2] done: obj_scale {obj_scale:.4f} -> {final_obj_scale:.4f}")
-    betas_new = {
-        nid: np.asarray(p[nid]["betas"]) for nid in scene.node_ids
-        if nid in ("right", "left")
-    }
+    if args.freeze_scale and args.freeze_shape:
+        # Stage 1 exists to fix bad SfM scale / shape inits.  On a
+        # well-registered init its only signal is PROXY-MODEL ERROR: the
+        # vertex-clustering-decimated render under-fills the target mask,
+        # so the fit inflates obj_scale along the scale<->depth valley
+        # with a genuinely improving loss (0.1000 -> 0.1216 on the r5
+        # rehearsal even with the contact deadzone) — the do-no-harm
+        # guard cannot see it.  With both frozen the stage is a no-op.
+        print("Stage [1/2]: SKIPPED (--freeze_scale --freeze_shape)")
+        final_obj_scale = float(obj_scale)
+        betas_new = {}
+    else:
+        print("Stage [1/2]: optimizing object scale and hand shape")
+        from .fitting.diagnostics import FitRecorder
+
+        sub = np.linspace(
+            0, n_frames - 1, min(args.batch_size, n_frames)
+        ).astype(int)
+        prob1 = make_problem(sub)
+        rec1 = None if no_vis else FitRecorder(
+            prob1, every=max(args.iters // 12, 1)
+        )
+        p = build_fit_params(tables, scene.node_ids, obj_scale, sub)
+        p, hist, improved = run_fit(
+            prob1, p, freeze_scale=args.freeze_scale,
+            freeze_shape=args.freeze_shape,
+            num_iterations=args.iters, verbose=True, callback=rec1,
+        )
+        if not improved:
+            print("Stage [1/2]: fit loss did not improve — keeping input "
+                  "scale/shape (do-no-harm)")
+        if rec1 is not None and rec1.save(os.path.join(vis_dir, "stage1.gif")):
+            print(f"stage-1 fitting diagnostics -> {vis_dir}/stage1.gif")
+        final_obj_scale = float(np.asarray(p["obj_scale"]))
+        print(f"Stage [1/2] done: obj_scale {obj_scale:.4f} -> "
+              f"{final_obj_scale:.4f}")
+        betas_new = {
+            nid: np.asarray(p[nid]["betas"]) for nid in scene.node_ids
+            if nid in ("right", "left")
+        }
 
     # ---- stage 2: per-batch refinement of every frame ---------------------
     print("Stage [2/2]: refining all frames")
@@ -207,6 +223,11 @@ def main():
     ap.add_argument("--iters", type=int, default=500)
     ap.add_argument("--target_dim", type=int, default=300)
     ap.add_argument("--inspect_idx", type=int, default=None)
+    ap.add_argument("--freeze_scale", action="store_true",
+                    help="keep obj_scale at its input value in stage 1 "
+                         "(use when the SfM scale is already trusted)")
+    ap.add_argument("--freeze_shape", action="store_true",
+                    help="keep hand betas at their input values in stage 1")
     ap.add_argument("--ckpt", default="",
                     help="checkpoint dir to refine (default: newest under "
                          "--exp; pass the last TRAINING step to rerun "

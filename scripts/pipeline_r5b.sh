@@ -53,10 +53,16 @@ run_train_with_watchdog() {
   done
 }
 
-stamp "=== phase 2b REDO: refinement with contact deadzone ==="
+stamp "=== phase 2b REDO: refinement, frozen scale/shape + deadzone ==="
+# --freeze_scale/--freeze_shape: stage 1's only signal on this
+# well-registered synthetic is proxy-decimation bias (it inflated
+# obj_scale to 0.1184 at parity and 0.1216 WITH the deadzone, both with
+# improving fit loss).  Stage 2 (translations + object orientation, the
+# params real SfM/HAMER inits get wrong) still runs in full.
 wait_tpu
 python -m hold_tpu.optimize_ckpt --exp logs/lr5_pre --case $CASE --no_vis \
   --ckpt logs/lr5_pre/checkpoints/step_000010000 --contact_thres 0.02 \
+  --freeze_scale --freeze_shape \
   || { stamp "optimize_ckpt FAILED"; exit 1; }
 
 stamp "=== phase 2c: evaluate post-refinement ==="
