@@ -524,9 +524,19 @@ def holdnet_forward(
                 pts_p = jax.lax.stop_gradient(
                     sample_dicts[nid]["canonical_pts"][:, :, ::6]
                 ).reshape(-1, 3)
-                tgt_p = jax.lax.stop_gradient(
-                    sample_dicts[nid]["sample_sdf"][:, :, ::6]
-                ).reshape(-1)
+                # truncate the regression target: far samples carry sdf
+                # magnitudes up to ~scene_size/obj_scale (canonical units),
+                # which the bounded-PE surrogate cannot represent — the L1
+                # then grows with |target| and dominates the total loss.
+                # Laplace density is fully saturated at |sdf| >= 2R for any
+                # admissible beta, so placement semantics are unchanged.
+                clip_v = 2.0 * scene.sampler_cfg.scene_bounding_sphere
+                tgt_p = jnp.clip(
+                    jax.lax.stop_gradient(
+                        sample_dicts[nid]["sample_sdf"][:, :, ::6]
+                    ).reshape(-1),
+                    -clip_v, clip_v,
+                )
                 out[f"{nid}.proposal_pred"] = apply_proposal_net(
                     params[nid]["proposal"], plans_n.proposal, pts_p,
                     step=step, barf_cfg=plans_n.barf_cfg,

@@ -779,7 +779,10 @@ def mano_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
                 step=step, barf_cfg=plans.barf_cfg,
                 embedding=plans.implicit["embedding"],
             )
-            return sdf.reshape(B * P, S)
+            # same truncation as the distillation target (holdnet.py):
+            # density is saturated out there for any admissible beta
+            clip_v = 2.0 * plans.sampler.scene_bounding_sphere
+            return jnp.clip(sdf, -clip_v, clip_v).reshape(B * P, S)
     if fused:
         from ..ops.fused_query import (
             fused_hand_sampler_sdf_z, pack_rays8, pack_trunk_weights,
@@ -868,7 +871,10 @@ def object_node_sample_z(nparams, server, plans, batch, ray_dirs, cam_loc,
                 step=step, barf_cfg=plans.barf_cfg,
                 embedding=plans.implicit["embedding"],
             )
-            return sdf.reshape(B * P, S)
+            # same truncation as the distillation target (holdnet.py):
+            # density is saturated out there for any admissible beta
+            clip_v = 2.0 * plans.sampler.scene_bounding_sphere
+            return jnp.clip(sdf, -clip_v, clip_v).reshape(B * P, S)
     if fused:
         from ..ops.fused_query import (
             fused_object_sampler_sdf_z, pack_rays8, pack_trunk_weights,

@@ -13,7 +13,7 @@ cd "$(dirname "$0")/.."
 LOG=logs/pipeline_r5.log
 CASE=bench_seq
 export HOLD_NO_PROPOSAL=1
-WDT=420
+WDT=900
 exec >>"$LOG" 2>&1
 stamp() { echo "[$(date +%H:%M:%S)] $*"; }
 
