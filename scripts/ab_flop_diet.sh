@@ -16,8 +16,15 @@ mkdir -p logs
 exec >>"$LOG" 2>&1
 stamp() { echo "[$(date +%H:%M:%S)] $*"; }
 
+# AB_VARIANTS (space-separated tags) restricts which variants run; the
+# summary still reports every directory that exists.
+WANT="${AB_VARIANTS:-}"
+
 run_one() {
   local tag=$1; shift
+  if [ -n "$WANT" ] && ! grep -qw "$tag" <<<"$WANT"; then
+    stamp "skip $tag (AB_VARIANTS)"; return 0
+  fi
   local envs=$1; shift
   local extra=$1; shift
   stamp "=== $tag: train 5 epochs (2k steps) env[$envs] args[$extra] ==="
