@@ -179,10 +179,19 @@ def refine(args):
         rec2 = None if no_vis else FitRecorder(
             prob2, every=max(args.iters // 6, 1)
         )
+
+        def heartbeat(i, fit_p, loss_v, _rec=rec2, _n=args.iters):
+            # watchdog liveness: one line per 50 iters (the per-batch
+            # summary alone can be >15 min of silence on TPU)
+            if i % 50 == 0:
+                print(f"  fit iter {i}/{_n}: loss {loss_v:.4f}")
+            if _rec is not None:
+                _rec(i, fit_p, loss_v)
+
         p = build_fit_params(new_tables, scene.node_ids, final_obj_scale, idx)
         p, hist, improved = run_fit(
             prob2, p, freeze_scale=True, freeze_shape=True,
-            num_iterations=args.iters, callback=rec2,
+            num_iterations=args.iters, callback=heartbeat,
         )
         if rec2 is not None:
             rec2.save(os.path.join(vis_dir, f"stage2_{idx[0]:04d}.gif"))
@@ -212,8 +221,15 @@ def refine(args):
 
 
 def main():
+    import sys
+
     from .utils.compile_cache import enable_compile_cache
 
+    # progress prints must reach the log in real time: watchdog-supervised
+    # runs (scripts/pipeline_*.sh) judge liveness by the log file's mtime,
+    # and block-buffered stdout looks like a 15-minute hang
+    if hasattr(sys.stdout, "reconfigure"):
+        sys.stdout.reconfigure(line_buffering=True)
     enable_compile_cache()  # every CLI pays remote TPU compiles otherwise
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", required=True)

@@ -14,7 +14,7 @@ LOG=logs/ab_flop_diet.log
 CASE=bench_seq
 mkdir -p logs
 exec >>"$LOG" 2>&1
-stamp() { echo "[$(date +%H:%M:%S)] $*"; }
+source scripts/wd.sh
 
 # AB_VARIANTS (space-separated tags) restricts which variants run; the
 # summary still reports every directory that exists.
@@ -29,10 +29,12 @@ run_one() {
   local extra=$1; shift
   stamp "=== $tag: train 5 epochs (2k steps) env[$envs] args[$extra] ==="
   rm -rf logs/ab_$tag
-  env $envs python -m hold_tpu.train --case $CASE --num_epoch 5 \
+  run_wd logs/ab_${tag}_console.log 10 \
+    env $envs python -m hold_tpu.train --case $CASE --num_epoch 5 \
     --exp_key ab_$tag --log_every 500 --no_vis $extra \
     || { stamp "$tag train FAILED"; return 1; }
-  env $envs python -m hold_tpu.evaluate --exp logs/ab_$tag --case $CASE \
+  run_wd logs/ab_${tag}_eval.log 6 \
+    env $envs python -m hold_tpu.evaluate --exp logs/ab_$tag --case $CASE \
     || { stamp "$tag eval FAILED"; return 1; }
 }
 

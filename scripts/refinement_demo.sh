@@ -15,7 +15,7 @@ cd "$(dirname "$0")/.."
 LOG=logs/refinement_demo_r5.log
 mkdir -p logs
 exec >>"$LOG" 2>&1
-stamp() { echo "[$(date +%H:%M:%S)] $*"; }
+source scripts/wd.sh
 
 CASE=noisy_trans_seq
 EXP=ref_demo_r5
@@ -27,20 +27,24 @@ if [ ! -f data/$CASE/build/data.npy ]; then
 fi
 
 stamp "=== short pretrain from the noised init ==="
-python -m hold_tpu.train --case $CASE --num_epoch 6 --exp_key $EXP \
+run_wd logs/${EXP}_train_console.log 20 \
+  python -m hold_tpu.train --case $CASE --num_epoch 6 --exp_key $EXP \
   --log_every 200 || { stamp "pretrain FAILED"; exit 1; }
 
 stamp "=== evaluate BEFORE refinement (vs clean truth) ==="
-python -m hold_tpu.evaluate --exp logs/$EXP --case $CASE \
+run_wd logs/${EXP}_eval_pre.log 6 \
+  python -m hold_tpu.evaluate --exp logs/$EXP --case $CASE \
   && cp logs/$EXP/eval.metric.json logs/$EXP/eval_noisy_pre.json
 
 stamp "=== pose refinement ==="
-python -m hold_tpu.optimize_ckpt --exp logs/$EXP --case $CASE --no_vis \
+run_wd logs/${EXP}_refine.log 6 \
+  python -m hold_tpu.optimize_ckpt --exp logs/$EXP --case $CASE --no_vis \
   --contact_thres 0.02 \
   || { stamp "optimize_ckpt FAILED"; exit 1; }
 
 stamp "=== evaluate AFTER refinement ==="
-python -m hold_tpu.evaluate --exp logs/$EXP --case $CASE \
+run_wd logs/${EXP}_eval_post.log 6 \
+  python -m hold_tpu.evaluate --exp logs/$EXP --case $CASE \
   && cp logs/$EXP/eval.metric.json logs/$EXP/eval_noisy_post.json
 
 stamp "=== demo summary ==="
