@@ -7,7 +7,7 @@ per checkpoint.  Runs fine on CPU (pose tables + cached canonical meshes +
 host ICP; no rendering), so it can sweep while the TPU trains.
 
 Usage:
-  JAX_PLATFORMS=cpu python scripts/eval_trajectory.py \
+  HOLD_PLATFORM=cpu python scripts/eval_trajectory.py \
       --exp logs/lr4_final --case bench_seq --out logs/lr4_final/traj.jsonl
 """
 

@@ -64,7 +64,7 @@ run_wd() {
 
 if [ ! -f data/$CASE/build/data.npy ]; then
   stamp "=== phase 0: generate $CASE ==="
-  JAX_PLATFORMS=cpu python -m hold_tpu.data.synthetic --out ./data/$CASE \
+  HOLD_PLATFORM=cpu python -m hold_tpu.data.synthetic --out ./data/$CASE \
     --frames 10 --height 240 --width 320 >>logs/step_0_data.log 2>&1 || exit 1
 fi
 

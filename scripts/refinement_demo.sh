@@ -21,7 +21,7 @@ CASE=noisy_trans_seq
 EXP=ref_demo_r5
 if [ ! -f data/$CASE/build/data.npy ]; then
   stamp "generating trans-noised sequence"
-  JAX_PLATFORMS=cpu python -m hold_tpu.data.synthetic --out ./data/$CASE \
+  HOLD_PLATFORM=cpu python -m hold_tpu.data.synthetic --out ./data/$CASE \
     --frames 10 --height 240 --width 320 --pose_noise 0.25 \
     --pose_noise_mode trans
 fi
