@@ -61,7 +61,7 @@ class FitRecorder:
 
     Usage:
         rec = FitRecorder(problem, every=50)
-        params, hist, improved = run_fit(..., callback=rec)
+        params, hist, improved, guard = run_fit(..., callback=rec)
         rec.save(os.path.join(exp_dir, "fit_stage2.gif"))
     """
 

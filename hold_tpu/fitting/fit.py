@@ -137,6 +137,27 @@ class FittingProblem:
 
     # -- losses (loss.py parity) -------------------------------------------
 
+    def hard_iou(self, out: dict) -> float:
+        """Binarized silhouette IoU vs the targets, averaged over entities
+        and frames.
+
+        Acceptance metric for the do-no-harm guard (NOT the fit loss): the
+        soft-raster L1 carries a systematic boundary-band bias (the sigma
+        blur fattens every predicted silhouette), so an optimizer can
+        "improve" it on an already-correct init by shrinking the model along
+        the camera ray — measured on bench_seq: fit loss 25.9 -> 2.9 while
+        eval f10_right degraded 44.4 -> 31.8 (logs/step_2b.log, r5 pipeline).
+        Thresholding at 0.5 removes the band, so IoU only moves when the
+        hard silhouette alignment actually changes."""
+        ious = []
+        for nid in self.node_ids:
+            pred = (out[f"{nid}.mask"] > 0.5).astype(jnp.float32)
+            tgt = self.targets[nid]
+            inter = jnp.sum(pred * tgt, axis=(1, 2))
+            union = jnp.sum(jnp.maximum(pred, tgt), axis=(1, 2))
+            ious.append(inter / jnp.maximum(union, 1.0))
+        return float(jnp.mean(jnp.stack(ious)))
+
     def loss_single_hand(self, out: dict, flag: str) -> dict:
         tips = out[f"{flag}.v3d_c"][:, self.contact_idx]
         d2 = _min_dist2(tips, out["object.v3d_c"])
@@ -315,15 +336,21 @@ def run_fit(
             break
         if verbose and i % 50 == 0:
             print(f"  fit iter {i}: loss {loss_v:.4f} lr {lr:.2e}")
-    # do-no-harm guard (VERDICT r4 #2): history[0] is the loss of the INPUT
-    # parameters (iter 0 evaluates loss before the first update applies).
-    # If fitting never beat that — e.g. a near-perfect init where the
-    # silhouette signal can only perturb depth — return the input params
-    # unchanged rather than a refinement that made things worse.  The
-    # reference has no such guard (model.py:161-199 only early-stops on lr);
-    # this is a deliberate safety addition, reported via `improved`.
+    # do-no-harm guard (VERDICT r4 #2), round-5b criterion: accept the
+    # refinement only when the BINARIZED silhouette IoU improves, not when
+    # the soft fit loss does.  The soft L1 has a sigma-band bias that an
+    # optimizer exploits on near-perfect inits (depth-drag: fit loss
+    # 25.9 -> 2.9 with eval f10_right 44.4 -> 31.8 on bench_seq); hard IoU
+    # only moves when 2D alignment actually changes, so a good init is kept
+    # verbatim and a corrupted init (the refinement demo) is still fixed.
+    # The loss must also not have diverged.  The reference has no such
+    # guard (model.py:161-199 only early-stops on lr); deliberate addition.
     finite = [h for h in history if np.isfinite(h)]
-    improved = bool(finite and min(finite[1:] or [np.inf]) < finite[0] - 1e-6)
+    loss_ok = bool(finite and min(finite[1:] or [np.inf]) < finite[0] - 1e-6)
+    iou0 = problem.hard_iou(problem.forward(params0))
+    iou1 = problem.hard_iou(problem.forward(params))
+    improved = bool(loss_ok and iou1 > iou0 + 1e-4)
     if not improved:
         params = params0
-    return params, history, improved
+    guard = {"iou_init": iou0, "iou_final": iou1, "loss_improved": loss_ok}
+    return params, history, improved, guard

@@ -149,14 +149,15 @@ def refine(args):
             prob1, every=max(args.iters // 12, 1)
         )
         p = build_fit_params(tables, scene.node_ids, obj_scale, sub)
-        p, hist, improved = run_fit(
+        p, hist, improved, guard = run_fit(
             prob1, p, freeze_scale=args.freeze_scale,
             freeze_shape=args.freeze_shape,
             num_iterations=args.iters, verbose=True, callback=rec1,
         )
         if not improved:
-            print("Stage [1/2]: fit loss did not improve — keeping input "
-                  "scale/shape (do-no-harm)")
+            print("Stage [1/2]: hard-IoU did not improve "
+                  f"({guard['iou_init']:.4f} -> {guard['iou_final']:.4f}) — "
+                  "keeping input scale/shape (do-no-harm)")
         if rec1 is not None and rec1.save(os.path.join(vis_dir, "stage1.gif")):
             print(f"stage-1 fitting diagnostics -> {vis_dir}/stage1.gif")
         final_obj_scale = float(np.asarray(p["obj_scale"]))
@@ -189,7 +190,7 @@ def refine(args):
                 _rec(i, fit_p, loss_v)
 
         p = build_fit_params(new_tables, scene.node_ids, final_obj_scale, idx)
-        p, hist, improved = run_fit(
+        p, hist, improved, guard = run_fit(
             prob2, p, freeze_scale=True, freeze_shape=True,
             num_iterations=args.iters, callback=heartbeat,
         )
@@ -204,8 +205,9 @@ def refine(args):
                             continue  # frozen for hands
                         new_tables[nid][k][idx] = arr
         print(f"  frames {idx[0]}-{idx[-1]}: loss {hist[0]:.4f} -> "
-              f"{hist[-1]:.4f} ({'kept' if improved else 'REJECTED, '
-              'do-no-harm'})")
+              f"{hist[-1]:.4f}, IoU {guard['iou_init']:.4f} -> "
+              f"{guard['iou_final']:.4f} "
+              f"({'kept' if improved else 'REJECTED, do-no-harm'})")
 
     # ---- write back -------------------------------------------------------
     out_params = to_host(params)
