@@ -74,3 +74,4 @@ for tag, m, rps in rows:
     print(f"{tag:10s} {rps:8d} {m['cd_icp']:7.3f} {m['f10_icp']:6.1f} "
           f"{m['f5_icp']:6.1f} {m['mpjpe_ra_r']:6.2f}")
 EOF
+bash scripts/collect_evidence.sh || true

@@ -131,3 +131,4 @@ AB_VARIANTS="base prop prop_nb64_s4 full_diet" bash scripts/ab_flop_diet.sh
 stamp "=== bench snapshot ==="
 run_wd logs/bench_r5_snapshot.json 3 python bench.py
 stamp "=== r5d complete ==="
+bash scripts/collect_evidence.sh || true

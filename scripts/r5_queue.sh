@@ -19,3 +19,4 @@ bash scripts/ab_flop_diet.sh
 stamp "A/B done; bench snapshot"
 timeout 3000 python bench.py > logs/bench_r5_snapshot.json 2>logs/bench_r5_snapshot.err
 stamp "queue complete"
+bash scripts/collect_evidence.sh || true

@@ -56,3 +56,4 @@ for k in sorted(pre):
     if isinstance(pre[k], float):
         print(f"{k:12s} pre {pre[k]:8.3f} -> post {post[k]:8.3f}")
 EOF
+bash scripts/collect_evidence.sh || true
